@@ -1,0 +1,60 @@
+"""cellregmap_tpu — TPU-native CellRegMap: context-specific eQTL mapping.
+
+A from-scratch JAX/XLA re-design of limix/CellRegMap (StructLMM-style
+variance-component score tests for GxC interactions, LRT association tests,
+and GLS effect-size decomposition) built for TPU: batched profiled LMM fits,
+one-shot workspace-basis factorization, on-device p-value approximations with
+a native (C++) Davies exact tail on host, and mesh-sharded scans.
+
+Public surface mirrors the reference package
+(/root/reference/cellregmap/__init__.py:1-20) plus the TPU-native extensions.
+"""
+# Statistical parity requires float64; enable before any jax usage.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from ._config import ScanConfig, DEFAULT_CONFIG
+from ._types import Term
+from .api import (
+    CellRegMap,
+    run_association,
+    run_association_fast,
+    run_interaction,
+    estimate_betas,
+    get_L_values,
+)
+from .utils.maf import compute_maf
+from .models.pvalues import lrt_pvalues, davies_pvalue, liu_sf, saddlepoint_sf
+from .sim import (
+    Variances,
+    Simulation,
+    create_variances,
+    sample_phenotype,
+    sample_phenotype_gxe,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CellRegMap",
+    "run_association",
+    "run_association_fast",
+    "run_interaction",
+    "estimate_betas",
+    "get_L_values",
+    "compute_maf",
+    "lrt_pvalues",
+    "davies_pvalue",
+    "liu_sf",
+    "saddlepoint_sf",
+    "ScanConfig",
+    "DEFAULT_CONFIG",
+    "Term",
+    "Variances",
+    "Simulation",
+    "create_variances",
+    "sample_phenotype",
+    "sample_phenotype_gxe",
+    "__version__",
+]

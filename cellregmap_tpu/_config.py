@@ -1,0 +1,79 @@
+"""Configuration for the CellRegMap-TPU engine.
+
+The reference (limix/CellRegMap) hard-codes its hyper-parameters inline:
+rho-grid ``linspace(0, 1, 11)`` (/root/reference/cellregmap/_cellregmap.py:108,119),
+eigenvalue cutoff 1e-16 (_math.py:128), p-value clipping (_cellregmap.py:467-469).
+Here they live in one dataclass so scans are reproducible and tunable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Hyper-parameters of the scan engine.
+
+    Attributes
+    ----------
+    n_rho:
+        Number of points of the rho1 grid ``linspace(0, 1, n_rho)`` mixing the
+        E1*E1^T context kernel with the K (x) E2*E2^T background
+        (reference: _cellregmap.py:108,119).
+    delta_logit_lo / delta_logit_hi / n_delta_grid:
+        Coarse grid over logit(delta) for the profiled 1-D variance-ratio
+        objective (delta = v1/(v0+v1)); replaces glimix-core's Brent search.
+    n_golden_iters:
+        Fixed-iteration golden-section refinement steps after the grid argmax.
+        60 iterations shrink the bracket by ~3e-13, i.e. to machine precision
+        in logit space.
+    snp_batch:
+        Number of variants processed per compiled device step. Static shape;
+        the driver pads the final batch.
+    pvalue_method:
+        "davies"  - host-side exact Davies tail for every test (reference
+                    parity path; chiscore/davies C path equivalent).
+        "auto"    - device-side saddlepoint everywhere, exact Davies refinement
+                    only where pv < davies_threshold.
+        "saddlepoint" / "liu" - device-only approximations (no host sync).
+    davies_threshold:
+        Refinement threshold for pvalue_method="auto".
+    davies_acc / davies_lim:
+        Absolute accuracy target and integration-term limit of the Davies
+        algorithm (reference's chiscore uses the SKAT defaults 1e-6/10'000;
+        we default tighter since the C++ path is cheap).
+    lambda_filter_ratio:
+        Mixture-weight filter: keep eigenvalues > mean(positive)/ratio
+        (SKAT / chiscore convention).
+    dtype:
+        "float64" (default; statistical parity) or "float32" (fast path for
+        the large n-contractions; small-dimension solves stay float64).
+    """
+
+    n_rho: int = 11
+    delta_logit_lo: float = -18.0
+    delta_logit_hi: float = 18.0
+    n_delta_grid: int = 64
+    n_golden_iters: int = 60
+    snp_batch: int = 256
+    pvalue_method: str = "davies"
+    davies_threshold: float = 1e-2
+    davies_acc: float = 1e-8
+    davies_lim: int = 20_000_000
+    lambda_filter_ratio: float = 1e5
+    dtype: str = "float64"
+    # p-value clipping used by lrt_pvalues (reference clips to
+    # [epsilon.super_tiny, 1 - epsilon.tiny], _cellregmap.py:467-469).
+    pv_clip_lo: float = 1e-300
+    pv_clip_hi: float = 1.0 - 1.1e-16
+    progress: bool = False
+
+    @property
+    def rho_grid(self) -> Tuple[float, ...]:
+        if self.n_rho == 1:
+            return (1.0,)
+        return tuple(i / (self.n_rho - 1) for i in range(self.n_rho))
+
+
+DEFAULT_CONFIG = ScanConfig()

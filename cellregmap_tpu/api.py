@@ -1,0 +1,371 @@
+"""Public CellRegMap API (NumPy in / NumPy out).
+
+Mirrors the reference's intended surface (/root/reference/cellregmap/
+_cellregmap.py: class CellRegMap :23-440 and the module-level wrappers
+:471-682), with the reference wrappers' argument-order bugs fixed (SURVEY.md
+section 2.2): ``run_association``/``run_association_fast`` pass W and E to
+the class correctly, and ``run_interaction`` forwards the permutation index
+to ``idx_G``.
+
+All heavy compute is dispatched to the batched device kernels in
+``cellregmap_tpu.engine``; this layer does padding, batching, p-value ladder
+dispatch and result assembly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import engine
+from ._config import DEFAULT_CONFIG, ScanConfig
+from .models import pvalues as pv_mod
+from .models.pvalues import lrt_pvalues
+from .ops.hadamard import get_L_values as _get_L_values_jax
+from .utils.maf import compute_maf
+
+
+def get_L_values(hK, E):
+    """Factors L_i with sum_i L_i L_i^T = K (.) EE^T (reference :533-545)."""
+    return [np.asarray(L) for L in _get_L_values_jax(hK, E)]
+
+
+def _pad_batch(G, batch):
+    """Pad the variant axis to a multiple of ``batch`` by repeating col 0."""
+    n_snps = G.shape[1]
+    rem = (-n_snps) % batch
+    if rem:
+        G = np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+    return G, n_snps
+
+
+class CellRegMap:
+    """Mixed-model with genetic effect heterogeneity (TPU-native engine).
+
+    The model (reference docstring _cellregmap.py:24-61):
+
+        y = W a + g b1 + g (.) b2 + e + u + eps,
+        b2 ~ N(0, v3 E0 E0^T),          e ~ N(0, v1 rho1 E1 E1^T),
+        u ~ N(0, v1 (1-rho1) K (.) E2 E2^T),   eps ~ N(0, v2 I).
+
+    Interaction test: H0: v3 = 0 vs H1: v3 > 0 (score test).
+    """
+
+    def __init__(self, y, E, W=None, Ls=None, E1=None, hK=None,
+                 config: ScanConfig = DEFAULT_CONFIG):
+        self._cfg = config
+        dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+
+        y = np.asarray(y, float).ravel()
+        E0 = np.asarray(E, float)
+        E1 = E0 if E1 is None else np.asarray(E1, float)
+        n = y.shape[0]
+        W = np.ones((n, 1)) if W is None else np.asarray(W, float)
+        if W.ndim == 1:
+            W = W[:, None]
+        Ls = [] if Ls is None else [np.asarray(L, float) for L in Ls]
+
+        assert W.ndim == 2 and E0.ndim == 2 and E1.ndim == 2
+        assert y.shape[0] == W.shape[0] == E0.shape[0] == E1.shape[0]
+        for L in Ls:
+            assert L.ndim == 2 and L.shape[0] == n
+
+        if len(Ls) or hK is not None:
+            rho_grid = np.linspace(0, 1, config.n_rho)
+        else:
+            rho_grid = np.array([1.0])
+
+        self._y, self._W, self._E0, self._E1 = y, W, E0, E1
+        self._Ls, self._hK = Ls, hK
+        self._n = n
+        self._ctx = engine.build_null_context(
+            y, W, E1, E0=E0, Ls=Ls if len(Ls) else None, hK=hK,
+            rho_grid=rho_grid, dtype=dtype,
+        )
+        self._dtype = dtype
+        self._null_assoc = None
+
+    @property
+    def n_samples(self) -> int:
+        return self._y.shape[0]
+
+    # -- interaction -------------------------------------------------------
+    def scan_interaction(self, G, idx_E=None, idx_G=None):
+        """Score test for GxC interaction per variant (reference :317-440).
+
+        Returns ``(pvalues, info)`` with info = {rho1, e2, g2, eps2} arrays.
+        """
+        cfg = self._cfg
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        ctx = self._ctx
+        if idx_E is not None:
+            ctx = ctx._replace(E0=jnp.asarray(self._E0[np.asarray(idx_E), :],
+                                              self._dtype))
+        Gs = G if idx_G is None else G[np.asarray(idx_G), :]
+
+        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        Gsp, _ = _pad_batch(Gs, batch)
+
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        outs = []
+        for start in range(0, Gp.shape[1], batch):
+            gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
+            gsb = jnp.asarray(Gsp[:, start : start + batch], self._dtype)
+            out = engine.interaction_kernel(ctx, gb, gsb, self._n,
+                                            delta_cfg=delta_cfg)
+            outs.append(jax.device_get(out))
+        res = {k: np.concatenate([o[k] for o in outs])[:n_snps]
+               for k in outs[0]}
+
+        pvalues = self._pvalue_ladder(res["Q"], res["lambdas"],
+                                      res["pv_liu"], res["pv_saddlepoint"],
+                                      Wmat=res.get("Wmat"))
+        info = {k: np.asarray(res[k], float)
+                for k in ("rho1", "e2", "g2", "eps2")}
+        info["Q"] = res["Q"]
+        info["lambdas"] = res["lambdas"]
+        info["pv_liu"] = res["pv_liu"]
+        info["pv_saddlepoint"] = res["pv_saddlepoint"]
+        return np.asarray(pvalues, float), info
+
+    def _pvalue_ladder(self, Q, lambdas, pv_liu, pv_sp, Wmat=None):
+        cfg = self._cfg
+        method = cfg.pvalue_method
+        if method == "liu":
+            return pv_liu
+        if method == "saddlepoint":
+            return pv_sp
+        if Wmat is not None:
+            # host LAPACK eigenvalues of the weight matrices for the exact
+            # path (the TPU backend's device eigh is only ~1e-7 accurate)
+            Wm = np.asarray(Wmat, float)
+            lambdas = np.linalg.eigvalsh((Wm + np.swapaxes(Wm, -1, -2)) / 2)
+        if method == "davies":
+            return pv_mod.davies_pvalue_batch(
+                Q, lambdas, lim=cfg.davies_lim, acc=cfg.davies_acc,
+                lambda_filter_ratio=cfg.lambda_filter_ratio,
+            )
+        if method == "auto":
+            pv = np.asarray(pv_sp, float).copy()
+            refine = pv < cfg.davies_threshold
+            if refine.any():
+                pv[refine] = pv_mod.davies_pvalue_batch(
+                    np.asarray(Q)[refine], np.asarray(lambdas)[refine],
+                    lim=cfg.davies_lim, acc=cfg.davies_acc,
+                    lambda_filter_ratio=cfg.lambda_filter_ratio,
+                )
+            return pv
+        raise ValueError(f"unknown pvalue_method {method!r}")
+
+    # -- association -------------------------------------------------------
+    def _fit_null_association(self):
+        if self._null_assoc is None:
+            delta_cfg = (self._cfg.delta_logit_lo, self._cfg.delta_logit_hi,
+                         self._cfg.n_delta_grid, self._cfg.n_golden_iters)
+            fits, k = engine.null_association_kernel(
+                self._ctx, self._n, restricted=False, delta_cfg=delta_cfg
+            )
+            self._null_assoc = (jax.device_get(fits), int(k))
+        return self._null_assoc
+
+    def _assoc_info(self, fits, k):
+        rho1 = float(np.linspace(0, 1, len(fits.lml))[k]
+                     if len(fits.lml) > 1 else 1.0)
+        v0 = float(fits.v0[k])
+        return {
+            "rho1": np.asarray([rho1]),
+            "e2": np.asarray([v0 * rho1]),
+            "g2": np.asarray([v0 * (1 - rho1)]),
+            "eps2": np.asarray([float(fits.v1[k])]),
+        }
+
+    def scan_association(self, G):
+        """LRT association scan with per-variant ML refits (reference :246-281)."""
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        fits, k = self._fit_null_association()
+        null_lml = float(fits.lml[k])
+
+        cfg = self._cfg
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        alt = []
+        for start in range(0, Gp.shape[1], batch):
+            gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
+            lml, _ = engine.association_refit_kernel(
+                self._ctx, gb, k, self._n, delta_cfg=delta_cfg
+            )
+            alt.append(np.asarray(lml))
+        alt_lmls = np.concatenate(alt)[:n_snps]
+        pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
+                         clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
+        return np.asarray(pv, float), self._assoc_info(fits, k)
+
+    def scan_association_fast(self, G):
+        """LRT association scan via the closed-form fast scanner (:284-314)."""
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        fits, k = self._fit_null_association()
+        null_lml = float(fits.lml[k])
+        delta = float(fits.delta[k])
+
+        cfg = self._cfg
+        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        alt = []
+        for start in range(0, Gp.shape[1], batch):
+            gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
+            res = engine.fast_scan_kernel(self._ctx, gb, k, delta, self._n)
+            alt.append(np.asarray(res.lml))
+        alt_lmls = np.concatenate(alt)[:n_snps]
+        pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
+                         clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
+        return np.asarray(pv, float), self._assoc_info(fits, k)
+
+    # -- effect sizes ------------------------------------------------------
+    def predict_interaction(self, G, MAF):
+        """Effect-size decomposition per variant (reference :137-205).
+
+        Returns ``(beta_g (S,), beta_gxe (n, S))``.
+        """
+        cfg = self._cfg
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        p = np.atleast_1d(np.asarray(MAF, float))
+        norm = 1.0 / np.sqrt(2 * p * (1 - p))
+
+        bctx = engine.build_betas_context(
+            self._y, self._W, self._E0, self._Ls,
+            rho_grid=np.linspace(0, 1, cfg.n_rho) if len(self._Ls)
+            else np.asarray(self._ctx.rho),
+            dtype=self._dtype,
+        )
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        normp = np.concatenate([norm, np.repeat(norm[:1],
+                                                Gp.shape[1] - len(norm))])
+        bg, alphas = [], []
+        for start in range(0, Gp.shape[1], batch):
+            gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
+            nb = jnp.asarray(normp[start : start + batch], self._dtype)
+            beta_g, alpha, _ = engine.predict_interaction_kernel(
+                bctx, gb, nb, self._n, delta_cfg=delta_cfg
+            )
+            bg.append(np.asarray(beta_g))
+            alphas.append(np.asarray(alpha))
+        beta_g = np.concatenate(bg)[:n_snps]
+        alpha = np.concatenate(alphas, axis=1)[:, :n_snps]       # (C, S)
+        beta_gxe = self._E0 @ alpha                              # (n, S)
+        return beta_g, beta_gxe
+
+    def estimate_aggregate_environment(self, g):
+        """Per-cell aggregate GxC driver E0 @ beta_gxe (reference :207-244).
+
+        Fits with the *null* covariance family (as the reference does at
+        :222-223) and solves with the per-g covariance.
+        """
+        cfg = self._cfg
+        g = np.asarray(g, float).ravel()
+        n = self._n
+        E0, W, y = self._E0, self._W, self._y
+        gE = g[:, None] * E0
+        M = np.concatenate((W, g[:, None], E0), axis=1)
+
+        # Fits over the null rho grid with mean M (eig backend, dense host
+        # assembly is fine: single variant).
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        fits = engine.mean_fit_kernel(
+            self._ctx, jnp.asarray(M, self._dtype), n, True, delta_cfg
+        )
+        fits = jax.device_get(fits)
+        k = int(np.argmax(fits.lml))
+        rho1 = float(np.asarray(self._ctx.rho)[k])
+        v0, v1 = float(fits.v0[k]), float(fits.v1[k])
+        beta = np.asarray(fits.beta[k])
+
+        yadj = y - M @ beta
+        # cov = v0 * (rho1 gE gE^T + (1-rho1) sum_i L_i L_i^T) + v1 I,
+        # solved with Woodbury on the host (single RHS).
+        Ls = self._Ls
+        if len(Ls):
+            F = np.concatenate([np.asarray(L) for L in Ls], axis=1)
+        else:
+            F = np.zeros((n, 1))
+        # cov = B + c A A^T with B = v0(1-rho1) F F^T + v1 I, c = v0 rho1
+        c = v0 * rho1
+        Bv = _lowrank_plus_diag_solve(F, v0 * (1 - rho1), v1, yadj)
+        BiA = _lowrank_plus_diag_solve(F, v0 * (1 - rho1), v1, gE)
+        cap = np.eye(E0.shape[1]) + c * (gE.T @ BiA)
+        v = Bv - BiA @ np.linalg.solve(cap, c * (gE.T @ Bv))
+        beta_gxe = (v0 * rho1) * (gE.T @ v)
+        return E0 @ beta_gxe
+
+
+def _lowrank_plus_diag_solve(F, a, b, rhs):
+    """(a F F^T + b I)^{-1} rhs via the capacitance identity (host)."""
+    if a == 0.0 or F.shape[1] == 0:
+        return rhs / b
+    m = F.shape[1]
+    cap = np.eye(m) + (a / b) * (F.T @ F)
+    Ft_rhs = F.T @ rhs
+    return (rhs - F @ np.linalg.solve(cap, (a / b) * Ft_rhs)) / b
+
+
+# --------------------------------------------------------------------------
+# Module-level convenience wrappers (reference :471-682, bugs fixed)
+# --------------------------------------------------------------------------
+def run_interaction(y, E, G, W=None, E1=None, E2=None, hK=None, idx_G=None,
+                    config: ScanConfig = DEFAULT_CONFIG):
+    """Interaction test: cell-level GxC genetic effects (score test).
+
+    Reference: _cellregmap.py:547-587.  The permutation index is forwarded
+    to ``idx_G`` (the reference passes it positionally into ``idx_E``,
+    SURVEY.md section 2.2).
+    """
+    E1 = E if E1 is None else E1
+    E2 = E if E2 is None else E2
+    Ls = None if hK is None else get_L_values(hK, E2)
+    crm = CellRegMap(y=y, E=E, W=W, E1=E1, Ls=Ls, config=config)
+    return crm.scan_interaction(G, idx_G=idx_G)
+
+
+def run_association(y, W, E, G, hK=None, config: ScanConfig = DEFAULT_CONFIG):
+    """Association test (LRT, per-variant ML refits).  Reference :471-500."""
+    crm = CellRegMap(y=y, E=E, W=W, hK=hK, config=config)
+    return crm.scan_association(G)
+
+
+def run_association_fast(y, W, E, G, hK=None,
+                         config: ScanConfig = DEFAULT_CONFIG):
+    """Association test (LRT, closed-form fast scanner).  Reference :502-531."""
+    crm = CellRegMap(y=y, E=E, W=W, hK=hK, config=config)
+    return crm.scan_association_fast(G)
+
+
+def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,
+                   config: ScanConfig = DEFAULT_CONFIG):
+    """Effect sizes: persistent beta_G and cell-level beta_GxC.
+
+    Reference: _cellregmap.py:640-682.
+    """
+    E1 = E if E1 is None else E1
+    E2 = E if E2 is None else E2
+    Ls = None if hK is None else get_L_values(hK, E2)
+    crm = CellRegMap(y=y, E=E, W=W, E1=E1, Ls=Ls, config=config)
+    if maf is None:
+        maf = compute_maf(G)
+    return crm.predict_interaction(G, maf)

@@ -1,0 +1,523 @@
+"""Batched scan kernels: the compute core of cellregmap_tpu.
+
+Design (TPU-first; see SURVEY.md section 7)
+-------------------------------------------
+The reference runs, per SNP, 11 serial REML fits plus an O(n r C) score pass
+(/root/reference/cellregmap/_cellregmap.py:340-435).  Here the whole scan is
+restructured around a single orthonormal *workspace basis* Z spanning every
+covariance factor ([E1, L_1..L_C]):
+
+* Sigma(rho) = Z Gz(rho) Z^T with Gz(rho) = rho Ge + (1-rho) Gk small
+  (R x R); one batched eigh over the rho grid replaces 11 thin SVDs of
+  n x m factors, and Q0(rho) = Z V(rho) is never materialized.
+* Every n-length contraction (rotating y, W, G, and the Khatri-Rao tensor
+  Z^T (g (.) E0) needed by the score statistic) happens once per variant
+  batch as large MXU matmuls, independent of rho.
+* The per-variant work (11 profiled REML fits, the score statistic, the
+  C x C mixture-weight eigenproblem, Liu/saddlepoint tails) is pure
+  small-dimension algebra vmapped across the batch: one XLA program,
+  no host round-trips.
+
+Zero eigenvalues are inert in every formula (a direction with S_i = 0 acts
+exactly like the orthogonal complement), so rank padding needs no masking
+and all shapes are static.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .models import lmm as lmm_mod
+from .models import pvalues as pv_mod
+from .ops.linalg import spd_solve, sym_pseudo_solve
+from .ops.lowrank import gram_eigh, orthonormal_basis
+
+
+class NullContext(NamedTuple):
+    """Precomputed per-dataset state for the interaction/association scans."""
+
+    y: jax.Array        # (n,)
+    W: jax.Array        # (n, p)
+    E0: jax.Array       # (n, C)  score-part contexts (possibly row-permuted)
+    Z: jax.Array        # (n, R)  workspace basis
+    V: jax.Array        # (n_rho, R, R) eigenvectors of Gz(rho)
+    S: jax.Array        # (n_rho, R) eigenvalues of Gz(rho), >= 0
+    rho: jax.Array      # (n_rho,)
+    Zy: jax.Array       # (R,)
+    ZW: jax.Array       # (R, p)
+    WW: jax.Array       # (p, p)
+    Wy: jax.Array       # (p,)
+    yy: jax.Array       # ()
+
+
+def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
+                       hK=None, rho_grid=None, dtype=jnp.float64):
+    """Factorize the null covariance family once.
+
+    Mirrors CellRegMap.__init__ (_cellregmap.py:63-131): three background
+    modes — E-only (rho = [1.0]), E + K (hK given), E + K (.) EE^T (Ls
+    given; Ls takes precedence, as in the reference).
+    """
+    y = jnp.asarray(y, dtype).ravel()
+    n = y.shape[0]
+    W = jnp.ones((n, 1), dtype) if W is None else jnp.asarray(W, dtype)
+    if W.ndim == 1:
+        W = W[:, None]
+    E1 = jnp.asarray(E1, dtype)
+    E0 = E1 if E0 is None else jnp.asarray(E0, dtype)
+
+    if Ls is not None and len(Ls) > 0:
+        bg_parts = [jnp.asarray(L, dtype) for L in Ls]
+    elif hK is not None:
+        bg_parts = [jnp.asarray(hK, dtype)]
+    else:
+        bg_parts = []
+
+    if rho_grid is None:
+        rho_grid = jnp.linspace(0.0, 1.0, 11) if bg_parts else jnp.array([1.0])
+    rho = jnp.asarray(rho_grid, dtype)
+
+    # One-time basis construction on host LAPACK: full f64 accuracy and
+    # robust to exactly rank-deficient factor stacks (the TPU backend's QR
+    # and eigh misbehave on those; everything per-batch stays on device).
+    import numpy as _np
+
+    F = _np.concatenate([_np.asarray(jax.device_get(p))
+                         for p in [E1] + bg_parts], axis=1)
+    Z = jnp.asarray(_np.linalg.qr(F, mode="reduced")[0], dtype)
+    Fe = Z.T @ E1
+    Ge = Fe @ Fe.T
+    if bg_parts:
+        Gk = jnp.zeros_like(Ge)
+        for B in bg_parts:
+            Fb = Z.T @ B
+            Gk = Gk + Fb @ Fb.T
+    else:
+        Gk = jnp.zeros_like(Ge)
+
+    Gz = rho[:, None, None] * Ge[None] + (1 - rho)[:, None, None] * Gk[None]
+    # The per-rho factorization runs once per dataset; LAPACK on host gives
+    # full f64 accuracy (the TPU backend's QDWH eigh is only ~1e-7 and NaNs
+    # on singular inputs).
+    import numpy as _np
+
+    S_np, V_np = _np.linalg.eigh(_np.asarray(jax.device_get(Gz)))
+    S = jnp.asarray(_np.maximum(S_np, 0.0), dtype)
+    V = jnp.asarray(V_np, dtype)
+
+    return NullContext(
+        y=y, W=W, E0=E0, Z=Z, V=V, S=S, rho=rho,
+        Zy=Z.T @ y, ZW=Z.T @ W,
+        WW=W.T @ W, Wy=W.T @ y, yy=y @ y,
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared helpers
+# --------------------------------------------------------------------------
+def _khatri_rao_rotate(Z, E0, G):
+    """T[c] = Z^T (E0[:, c] (.) G)  ->  (C, R, S).
+
+    The dominant contraction of the scan (n * R * C * S flops), expressed as
+    C large matmuls so XLA tiles them onto the MXU.
+    """
+    cols = []
+    for c in range(E0.shape[1]):
+        cols.append(Z.T @ (G * E0[:, c : c + 1]))
+    return jnp.stack(cols, axis=0)
+
+
+def _e0_weighted_grams(E0, Gpow):
+    """M[c, d, s] = sum_n E0[n,c] E0[n,d] Gpow[n,s]  ->  (C, C, S)."""
+    rows = []
+    for c in range(E0.shape[1]):
+        rows.append(E0.T @ (Gpow * E0[:, c : c + 1]))
+    return jnp.stack(rows, axis=0)
+
+
+def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
+                  delta_cfg):
+    """REML/ML fits over the rho grid for one problem; returns per-rho fits.
+
+    Xz: (R, p) workspace-rotated covariates; X_gram: (p, p) full X^T X;
+    X_y: (p,) full X^T y.
+    """
+    lo, hi, n_grid, n_iters = delta_cfg
+
+    def one_rho(V, S):
+        Xt = V.T @ Xz
+        yt = V.T @ ctx.Zy
+        data = lmm_mod.EigData(
+            S=S, Xt=Xt, yt=yt,
+            Cxx=X_gram - Xt.T @ Xt,
+            cxy=X_y - Xt.T @ yt,
+            cyy=ctx.yy - yt @ yt,
+        )
+        return lmm_mod.fit_delta_eig(data, n, restricted, lo, hi, n_grid,
+                                     n_iters)
+
+    return jax.vmap(one_rho)(ctx.V, ctx.S)
+
+
+# --------------------------------------------------------------------------
+# Interaction scan kernel
+# --------------------------------------------------------------------------
+def interaction_batch(ctx: NullContext, G, G_score, n: int,
+                      delta_cfg=(-18.0, 18.0, 64, 60), saddle_iters=40):
+    """Score-test interaction scan for one variant batch (pure; see
+    :func:`interaction_kernel` for the jitted entry).
+
+    Per variant (vmapped): REML null fit over the rho grid with X = [W, g]
+    (reference _cellregmap.py:345-357), then the score statistic
+    Q = 1/2 ||(g (.) E0)^T P y||^2 and the C x C mixture-weight matrix
+    1/2 A^T P A (reference _math.py:102-128) evaluated entirely from
+    precomputed inner products, plus device-side Liu/saddlepoint tails.
+
+    ``G_score`` carries the (possibly idx_G-permuted) genotypes used in the
+    score part; the null fits always use ``G``.
+    """
+    Z, E0, y, W = ctx.Z, ctx.E0, ctx.y, ctx.W
+    p = W.shape[1]
+
+    # --- one-shot heavy contractions (rho-independent) ---
+    ZG = Z.T @ G                                   # (R, S)
+    T = _khatri_rao_rotate(Z, E0, G_score)         # (C, R, S)
+    G2s = G_score * G_score
+    AtA = _e0_weighted_grams(E0, G2s)              # (C, C, S)
+    Ay = E0.T @ (G_score * y[:, None])             # (C, S)
+    AW = jnp.stack(
+        [E0.T @ (G_score * W[:, j : j + 1]) for j in range(p)], axis=1
+    )                                              # (C, p, S)
+    Ag = E0.T @ (G_score * G)                      # (C, S)  A^T g (unpermuted g)
+    Wg = W.T @ G                                   # (p, S)
+    gg = jnp.sum(G * G, axis=0)                    # (S,)
+    gy = G.T @ y                                   # (S,)
+
+    # --- per-rho rotations as batched matmuls (not inside the vmap) ---
+    # V: (nrho, R, R); rotate once for all variants and rho values.
+    Gt_all = jnp.einsum("krq,rs->kqs", ctx.V, ZG)      # (nrho, R, S)
+    Wt_all = jnp.einsum("krq,rp->kqp", ctx.V, ctx.ZW)  # (nrho, R, p)
+    yt_all = jnp.einsum("krq,r->kq", ctx.V, ctx.Zy)    # (nrho, R)
+
+    lo, hi, n_grid, n_iters = delta_cfg
+
+    def per_snp(gt_k, t, ata, ay, aw, ag, wg, gg_s, gy_s):
+        # X = [W, g];  gt_k: (nrho, R) pre-rotated g.
+        XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
+        Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
+
+        def fit_rho(Wt, gt, yt, S):
+            Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
+            data = lmm_mod.EigData(
+                S=S, Xt=Xt, yt=yt,
+                Cxx=XX - Xt.T @ Xt,
+                cxy=Xy - Xt.T @ yt,
+                cyy=ctx.yy - yt @ yt,
+            )
+            return lmm_mod.fit_delta_eig(data, n, True, lo, hi, n_grid,
+                                         n_iters)
+
+        fits = jax.vmap(fit_rho)(Wt_all, gt_k, yt_all, ctx.S)
+        k = jnp.argmax(fits.lml)
+        take = lambda a: jnp.take(a, k, axis=0)
+        v0 = take(fits.v0)
+        v1 = take(fits.v1)
+        Vb = jnp.take(ctx.V, k, axis=0)                              # (R, R)
+        Sb = jnp.take(ctx.S, k, axis=0)                              # (R,)
+        rho1 = jnp.take(ctx.rho, k)
+
+        # rotated quantities in the best-rho eigenbasis
+        Xt = jnp.concatenate(
+            [jnp.take(Wt_all, k, axis=0),
+             jnp.take(gt_k, k, axis=0)[:, None]], axis=1
+        )                                                            # (R, p+1)
+        yt = jnp.take(yt_all, k, axis=0)                             # (R,)
+        At = Vb.T @ t.T                                              # (R, C)
+
+        omega = (v0 * Sb) / (v1 + v0 * Sb)                           # (R,)
+
+        def kq(ut, vt, uv):
+            """u^T K0^{-1} v = (u^T v - u^T Q diag(omega) Q^T v)/v1."""
+            scaled = omega[:, None] * vt if vt.ndim == 2 else omega * vt
+            return (uv - ut.T @ scaled) / v1
+
+        AX_full = jnp.concatenate([aw, ag[:, None]], axis=1)         # (C, p+1)
+        XKX = kq(Xt, Xt, XX)
+        XKy = kq(Xt, yt, Xy)
+        AKX = kq(At, Xt, AX_full)                                    # (C, p+1)
+        AKy = kq(At, yt, ay)
+        AKA = kq(At, At, ata)
+
+        B = sym_pseudo_solve(
+            XKX, jnp.concatenate([XKy[:, None], AKX.T], axis=1)
+        )
+        APy = AKy - AKX @ B[:, 0]
+        APA = AKA - AKX @ B[:, 1:]
+        Q = 0.5 * APy @ APy
+        Wmat = 0.25 * (APA + APA.T)  # 1/2 A^T P A, symmetrized
+        from .ops.linalg import safe_eigh
+
+        lam = jnp.maximum(safe_eigh(Wmat)[0], 0.0)
+
+        return {
+            "Q": Q,
+            "lambdas": lam,
+            "Wmat": Wmat,
+            "rho1": rho1,
+            "e2": v0 * rho1,
+            "g2": v0 * (1 - rho1),
+            "eps2": v1,
+            "v0": v0,
+            "v1": v1,
+            "delta": take(fits.delta),
+            "lml": take(fits.lml),
+        }
+
+    out = jax.vmap(per_snp, in_axes=(2, 2, 2, 1, 2, 1, 1, 0, 0))(
+        Gt_all, T, AtA, Ay, AW, Ag, Wg, gg, gy
+    )
+    out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
+    out["pv_saddlepoint"] = pv_mod.saddlepoint_sf(
+        out["Q"], out["lambdas"], n_iters=saddle_iters
+    )
+    return out
+
+
+interaction_kernel = functools.partial(
+    jax.jit(interaction_batch,
+            static_argnames=("n", "delta_cfg", "saddle_iters"))
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "restricted", "delta_cfg"))
+def mean_fit_kernel(ctx: NullContext, M, n: int, restricted: bool = True,
+                    delta_cfg=(-18.0, 18.0, 64, 60)):
+    """Fits over the rho grid with an arbitrary mean matrix M (n x pM).
+
+    Used by estimate_aggregate_environment (reference :207-230 fits with
+    M = [W, g, E0] against the *null* covariance family).
+    """
+    Mz = ctx.Z.T @ M
+    return _fit_over_rho(ctx, Mz, M.T @ M, M.T @ ctx.y, n, restricted,
+                         delta_cfg)
+
+
+# --------------------------------------------------------------------------
+# Association scan kernels
+# --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("n", "restricted", "delta_cfg"))
+def null_association_kernel(ctx: NullContext, n: int, restricted: bool = False,
+                            delta_cfg=(-18.0, 18.0, 64, 60)):
+    """Covariate-only null fits over the rho grid (reference :246-266)."""
+    fits = _fit_over_rho(ctx, ctx.ZW, ctx.WW, ctx.Wy, n, restricted,
+                         delta_cfg)
+    k = jnp.argmax(fits.lml)
+    return fits, k
+
+
+@functools.partial(jax.jit, static_argnames=("n", "delta_cfg"))
+def association_refit_kernel(ctx: NullContext, G, k_rho, n: int,
+                             delta_cfg=(-18.0, 18.0, 64, 60)):
+    """Per-variant full ML alternative fits at the null's best rho.
+
+    The reference's "slow" association scan (_cellregmap.py:268-276): each
+    variant refits delta with X = [W, g]; here all variants fit in one
+    vmapped program.
+    """
+    ZG = ctx.Z.T @ G
+    Wg = ctx.W.T @ G
+    gg = jnp.sum(G * G, axis=0)
+    gy = G.T @ ctx.y
+    Vb = jnp.take(ctx.V, k_rho, axis=0)
+    Sb = jnp.take(ctx.S, k_rho, axis=0)
+    lo, hi, n_grid, n_iters = delta_cfg
+
+    def per_snp(zg, wg, gg_s, gy_s):
+        Xz = jnp.concatenate([ctx.ZW, zg[:, None]], axis=1)
+        XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
+        Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
+        Xt = Vb.T @ Xz
+        yt = Vb.T @ ctx.Zy
+        data = lmm_mod.EigData(
+            S=Sb, Xt=Xt, yt=yt,
+            Cxx=XX - Xt.T @ Xt,
+            cxy=Xy - Xt.T @ yt,
+            cyy=ctx.yy - yt @ yt,
+        )
+        fit = lmm_mod.fit_delta_eig(data, n, False, lo, hi, n_grid, n_iters)
+        return fit.lml, fit.beta
+
+    return jax.vmap(per_snp, in_axes=(1, 1, 0, 0))(ZG, Wg, gg, gy)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def fast_scan_kernel(ctx: NullContext, G, k_rho, delta, n: int):
+    """Closed-form alternative lmls for all variants (FastScanner parity).
+
+    Reference path: _cellregmap.py:306-309 via glimix-core FastScanner.
+    """
+    Vb = jnp.take(ctx.V, k_rho, axis=0)
+    Sb = jnp.take(ctx.S, k_rho, axis=0)
+    Wt = Vb.T @ ctx.ZW
+    yt = Vb.T @ ctx.Zy
+    ZG = ctx.Z.T @ G
+    Gt = Vb.T @ ZG
+    CWG = ctx.W.T @ G - Wt.T @ Gt
+    cGy = G.T @ ctx.y - Gt.T @ yt
+    cGG = jnp.sum(G * G, axis=0) - jnp.sum(Gt * Gt, axis=0)
+    return lmm_mod.fast_scan(
+        delta, Sb, Wt, yt,
+        ctx.WW - Wt.T @ Wt, ctx.Wy - Wt.T @ yt, ctx.yy - yt @ yt,
+        Gt, CWG, cGy, cGG, n,
+    )
+
+
+# --------------------------------------------------------------------------
+# Effect-size estimation (Woodbury backend)
+# --------------------------------------------------------------------------
+class BetasContext(NamedTuple):
+    """State for estimate_betas: fixed background U Lam U^T = sum_i L_i L_i^T."""
+
+    y: jax.Array       # (n,)
+    W: jax.Array       # (n, p)
+    E0: jax.Array      # (n, C)
+    Zk: jax.Array      # (n, Rk) basis of the background factors
+    Vk: jax.Array      # (Rk, Rk)
+    Lam: jax.Array     # (Rk,)
+    rho: jax.Array     # (n_rho,)
+    uy: jax.Array      # (Rk,)  U^T y
+    UW: jax.Array      # (Rk, p)
+    UE: jax.Array      # (Rk, C)
+    WW: jax.Array
+    WE: jax.Array      # (p, C)
+    EE: jax.Array      # (C, C)
+    Wy: jax.Array
+    Ey: jax.Array      # (C,)
+    yy: jax.Array
+
+
+def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
+                        dtype=jnp.float64):
+    y = jnp.asarray(y, dtype).ravel()
+    n = y.shape[0]
+    W = jnp.ones((n, 1), dtype) if W is None else jnp.asarray(W, dtype)
+    E0 = jnp.asarray(E0, dtype)
+    parts = [jnp.asarray(L, dtype) for L in (Ls or [])]
+    if parts:
+        import numpy as _np
+
+        F = _np.concatenate([_np.asarray(jax.device_get(p)) for p in parts],
+                            axis=1)
+        Zk = jnp.asarray(_np.linalg.qr(F, mode="reduced")[0], dtype)
+        Gk = jnp.zeros((Zk.shape[1], Zk.shape[1]), dtype)
+        for B in parts:
+            Fb = Zk.T @ B
+            Gk = Gk + Fb @ Fb.T
+        Lam_np, Vk_np = _np.linalg.eigh(_np.asarray(jax.device_get(Gk)))
+        Lam = jnp.asarray(_np.maximum(Lam_np, 0.0), dtype)
+        Vk = jnp.asarray(Vk_np, dtype)
+    else:
+        # Degenerate background (reference still runs: hSigma_p = sqrt(rho) gE
+        # only, _cellregmap.py:164-166).
+        Zk = jnp.zeros((n, 1), dtype)
+        Vk = jnp.eye(1, dtype=dtype)
+        Lam = jnp.zeros((1,), dtype)
+    if rho_grid is None:
+        rho_grid = jnp.linspace(0.0, 1.0, 11)
+    rho = jnp.asarray(rho_grid, dtype)
+    U_T = lambda M: Vk.T @ (Zk.T @ M)
+    return BetasContext(
+        y=y, W=W, E0=E0, Zk=Zk, Vk=Vk, Lam=Lam, rho=rho,
+        uy=U_T(y), UW=U_T(W), UE=U_T(E0),
+        WW=W.T @ W, WE=W.T @ E0, EE=E0.T @ E0,
+        Wy=W.T @ y, Ey=E0.T @ y, yy=y @ y,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "delta_cfg"))
+def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
+                               delta_cfg=(-18.0, 18.0, 64, 60)):
+    """Per-variant REML fits with covariance rho (gE)(gE)^T + (1-rho) K(.)E.
+
+    Replaces the reference's per-SNP x per-rho thin SVDs
+    (_cellregmap.py:152-198) with the Woodbury backend: no factorization at
+    all per variant, just rank-C capacitance solves.  Returns
+    (beta_g (S,), alpha_gxe (C, S)) with beta_gxe = E0 @ alpha_gxe computed
+    by the caller as one matmul.
+    """
+    W, E0, y = ctx.W, ctx.E0, ctx.y
+    p = W.shape[1]
+    C = E0.shape[1]
+    lo, hi, n_grid, n_iters = delta_cfg
+
+    # Heavy contractions, once per batch.
+    Tk = _khatri_rao_rotate(ctx.Zk, E0, G)           # (C, Rk', S) pre-Vk
+    ZkG = ctx.Zk.T @ G                               # (Rk', S)
+    M1 = _e0_weighted_grams(E0, G)                   # (C, C, S)  E0' diag(g) E0
+    M2 = _e0_weighted_grams(E0, G * G)               # (C, C, S)  A^T A
+    AW = jnp.stack(
+        [E0.T @ (G * W[:, j : j + 1]) for j in range(p)], axis=1
+    )                                                # (C, p, S)
+    ay = E0.T @ (G * y[:, None])                     # (C, S)
+    Ag2 = E0.T @ (G * G)                             # (C, S)  A^T g
+    Wg = W.T @ G                                     # (p, S)
+    Eg = E0.T @ G                                    # (C, S)
+    gg = jnp.sum(G * G, axis=0)
+    gy = G.T @ y
+
+    def per_snp(t, zkg, m1, m2, aw, ay_s, ag2, wg, eg, gg_s, gy_s, norm_s):
+        Ua = ctx.Vk.T @ t.T                          # (Rk, C)
+        ug = ctx.Vk.T @ zkg                          # (Rk,)
+        Ux = jnp.concatenate([ctx.UW, ug[:, None], ctx.UE], axis=1)  # (Rk, pM)
+        # M-matrix grams: M = [W, g, E0]
+        xx = jnp.block([
+            [ctx.WW, wg[:, None], ctx.WE],
+            [wg[None, :], gg_s[None, None], eg[None, :]],
+            [ctx.WE.T, eg[:, None], ctx.EE],
+        ])
+        xy = jnp.concatenate([ctx.Wy, gy_s[None], ctx.Ey])
+        # A^T M-columns: [A^T W, A^T g, A^T E0]
+        Ax = jnp.concatenate([aw, ag2[:, None], m1], axis=1)
+
+        def fit_rho(rho):
+            data = lmm_mod.WoodburyData(
+                Lam=ctx.Lam, Ua=Ua, Ux=Ux, uy=ctx.uy,
+                Aa=m2, Ax=Ax, ay=ay_s,
+                xx=xx, xy=xy, yy=ctx.yy, rho=rho,
+            )
+            return lmm_mod.fit_delta_woodbury(data, n, True, lo, hi, n_grid,
+                                              n_iters)
+
+        fits = jax.vmap(fit_rho)(ctx.rho)
+        k = jnp.argmax(fits.lml)
+        take = lambda a: jnp.take(a, k, axis=0)
+        rho1 = jnp.take(ctx.rho, k)
+        delta = take(fits.delta)
+        beta = take(fits.beta)
+        v0 = take(fits.v0)
+        v1 = take(fits.v1)
+        scale = take(fits.scale)
+
+        beta_g = beta[p]
+
+        # v = (v0 Sigma_p + v1 I)^{-1} (y - M beta) = D^{-1} r / scale
+        c = (1 - delta) * rho1
+        m = (1 - delta) * (1 - rho1) * ctx.Lam + delta
+        wm = 1.0 / m
+        ur = ctx.uy - Ux @ beta                       # (Rk,)
+        ar = ay_s - Ax @ beta                         # (C,)
+        # A^T M^{-1} r and A^T M^{-1} A
+        AmR = Ua.T @ (ur * wm) + (ar - Ua.T @ ur) / delta
+        H = Ua.T @ (Ua * wm[:, None]) + (m2 - Ua.T @ Ua) / delta
+        cap = jnp.eye(C, dtype=m2.dtype) + c * H
+        AdR = AmR - c * H @ spd_solve(cap, AmR)
+        alpha = (v0 * rho1) * AdR / scale * norm_s    # (C,)
+        return beta_g, alpha, rho1, v0, v1, take(fits.lml)
+
+    beta_g, alpha, rho1, v0, v1, lml = jax.vmap(
+        per_snp, in_axes=(2, 1, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0)
+    )(Tk, ZkG, M1, M2, AW, ay, Ag2, Wg, Eg, gg, gy, norm)
+    return beta_g, alpha.T, {"rho1": rho1, "v0": v0, "v1": v1, "lml": lml}

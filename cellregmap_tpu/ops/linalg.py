@@ -1,0 +1,96 @@
+"""SPD linear algebra helpers, TPU-safe in float64.
+
+The axon/XLA TPU backend implements Cholesky, triangular solve, eigh, QR and
+SVD for f64 (matmul-based expansions) but *not* LU decomposition — so
+``jnp.linalg.solve``/``slogdet`` fail to compile.  Every linear system in
+this framework is symmetric positive definite (GLS normal equations,
+Woodbury capacitances, covariance Grams), so Cholesky is both the fast and
+the portable path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def spd_chol(A: jax.Array) -> jax.Array:
+    return jnp.linalg.cholesky(A)
+
+
+def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for SPD A via Cholesky."""
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+def spd_solve_chol(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve with a precomputed Cholesky factor."""
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+def spd_logdet(A: jax.Array) -> jax.Array:
+    """log det(A) for SPD A via Cholesky."""
+    L = jnp.linalg.cholesky(A)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                         axis=-1)
+
+
+def spd_solve_and_logdet(A: jax.Array, b: jax.Array):
+    """(A^{-1} b, log det A) sharing one Cholesky."""
+    L = jnp.linalg.cholesky(A)
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                           axis=-1)
+    return x, logdet
+
+
+def _ridge(A: jax.Array, rcond: float) -> jax.Array:
+    """A + rcond * max|diag| * I — the minimal PD-ification of a PSD matrix.
+
+    Keeps rank-deficient normal systems solvable (collinear fixed effects —
+    e.g. the reference's M = [W, g, E0] with E0 spanning the intercept; the
+    reference survives those via lstsq, _math.py:33-37).  On the well-posed
+    path the relative perturbation is ~rcond — far below statistical
+    tolerances.  Cholesky is preferred over an eigh-based pseudo-inverse
+    because the TPU backend's f64 QDWH eigh is only ~1e-7 accurate (and NaNs
+    on exactly-singular inputs), while its blocked Cholesky is full f64.
+    """
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    eps = rcond * jnp.maximum(jnp.max(jnp.abs(diag), axis=-1), 1.0)
+    return A + eps[..., None, None] * jnp.eye(A.shape[-1], dtype=A.dtype)
+
+
+def sym_pseudo_solve(A: jax.Array, b: jax.Array, rcond: float = 1e-12):
+    """Robust solve of a symmetric PSD system (ridge + Cholesky)."""
+    L = jnp.linalg.cholesky(_ridge(A, rcond))
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+def sym_pseudo_solve_and_logdet(A: jax.Array, b: jax.Array,
+                                rcond: float = 1e-12):
+    """(robust solve, logdet) of a symmetric PSD normal matrix."""
+    L = jnp.linalg.cholesky(_ridge(A, rcond))
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                           axis=-1)
+    return x, logdet
+
+
+def sym_pseudo_logdet(A: jax.Array, rcond: float = 1e-12) -> jax.Array:
+    L = jnp.linalg.cholesky(_ridge(A, rcond))
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                         axis=-1)
+
+
+def safe_eigh(A: jax.Array):
+    """eigh of a PSD matrix, NaN-safe on the TPU backend.
+
+    The TPU QDWH eigh returns NaN for exactly-singular inputs; a 1e-12
+    diagonal shift (exact identity for eigenvectors, eigenvalues shifted
+    back) avoids the degenerate case.
+    """
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    eps = 1e-12 * jnp.maximum(jnp.max(jnp.abs(diag), axis=-1), 1.0)
+    shifted = A + eps[..., None, None] * jnp.eye(A.shape[-1], dtype=A.dtype)
+    S, V = jnp.linalg.eigh(shifted)
+    return S - eps[..., None], V

@@ -1,0 +1,170 @@
+"""Mesh-sharded scan driver: data-parallel over the variant axis.
+
+Each device runs the same batched interaction kernel on its shard of the
+variant batch; the per-dataset context is replicated.  No collectives are
+needed inside the kernel (tests are independent); XLA's SPMD partitioner
+keeps everything local to each chip and the host gathers sharded result
+tables.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import engine
+from .._config import DEFAULT_CONFIG, ScanConfig
+from .checkpoint import ScanCheckpoint
+from .mesh import VARIANT_AXIS, make_mesh
+
+
+def _sharded_impl(mesh: Mesh, n: int, delta_cfg, saddle_iters,
+                  out_struct):
+    """Build the shard_mapped interaction kernel for a given mesh/shape."""
+    axis = mesh.axis_names[0]
+
+    def body(ctx, G, G_score):
+        return engine.interaction_batch(ctx, G, G_score, n,
+                                        delta_cfg=delta_cfg,
+                                        saddle_iters=saddle_iters)
+
+    ctx_spec = jax.tree.map(lambda _: P(), out_struct["ctx_tree"])
+    out_specs = jax.tree.map(
+        lambda s: P(axis, *([None] * (len(s.shape) - 1))),
+        out_struct["out_shapes"],
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis), P(None, axis)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedScanner:
+    """Data-parallel interaction scanner with checkpoint/resume.
+
+    Parameters
+    ----------
+    crm:
+        A :class:`cellregmap_tpu.CellRegMap` instance (holds the factorized
+        context).
+    mesh:
+        A 1-D `jax.sharding.Mesh`; defaults to all local devices.
+    checkpoint:
+        Optional directory for cursor/result checkpoints (new capability vs
+        the reference, SURVEY.md section 5.3-5.4).
+    """
+
+    def __init__(self, crm, mesh: Optional[Mesh] = None,
+                 checkpoint: Optional[str] = None):
+        self.crm = crm
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ckpt = ScanCheckpoint(checkpoint) if checkpoint else None
+        self._compiled = {}
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def _kernel(self, ctx, G_b, Gs_b, n, delta_cfg):
+        key = (G_b.shape, n, delta_cfg)
+        if key not in self._compiled:
+            out_shapes = jax.eval_shape(
+                lambda c, g, gs: engine.interaction_batch(
+                    c, g, gs, n, delta_cfg=delta_cfg
+                ),
+                ctx, G_b, Gs_b,
+            )
+            self._compiled[key] = _sharded_impl(
+                self.mesh, n, delta_cfg, 40,
+                {"ctx_tree": ctx, "out_shapes": out_shapes},
+            )
+        return self._compiled[key]
+
+    def scan_interaction(self, G, idx_E=None, idx_G=None,
+                         checkpoint_every: int = 1) -> Dict:
+        """Sharded equivalent of ``CellRegMap.scan_interaction``.
+
+        Returns ``(pvalues, info)`` like the reference API.  With a
+        checkpoint directory, completed batches are persisted and a
+        restarted call resumes from the cursor.
+        """
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        ctx = crm._ctx
+        if idx_E is not None:
+            ctx = ctx._replace(
+                E0=jnp.asarray(crm._E0[np.asarray(idx_E), :], crm._dtype)
+            )
+        Gs = G if idx_G is None else G[np.asarray(idx_G), :]
+
+        # pad to a multiple of devices * per-device batch
+        per_dev = max(1, min(cfg.snp_batch, -(-G.shape[1] // nd)))
+        step = per_dev * nd
+        n_snps = G.shape[1]
+        rem = (-n_snps) % step
+        if rem:
+            G = np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+            Gs = np.concatenate([Gs, np.repeat(Gs[:, :1], rem, axis=1)],
+                                axis=1)
+
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+
+        start_batch = 0
+        acc: Dict[str, list] = {}
+        if self.ckpt is not None:
+            state = self.ckpt.load()
+            if state is not None and state["meta"].get("n_snps") == n_snps:
+                start_batch = state["cursor"]
+                acc = {k: [v] for k, v in state["results"].items()}
+
+        n_batches = G.shape[1] // step
+        for b in range(start_batch, n_batches):
+            sl = slice(b * step, (b + 1) * step)
+            gb = jnp.asarray(G[:, sl], crm._dtype)
+            gsb = jnp.asarray(Gs[:, sl], crm._dtype)
+            kernel = self._kernel(ctx, gb, gsb, crm._n, delta_cfg)
+            out = jax.device_get(kernel(ctx, gb, gsb))
+            for k, v in out.items():
+                acc.setdefault(k, []).append(np.asarray(v))
+            if self.ckpt is not None and (b + 1) % checkpoint_every == 0:
+                flat = {k: np.concatenate(v) for k, v in acc.items()}
+                self.ckpt.save(b + 1, flat, {"n_snps": n_snps})
+                acc = {k: [v2] for k, v2 in flat.items()}
+
+        res = {k: np.concatenate(v)[:n_snps] for k, v in acc.items()}
+        pvalues = crm._pvalue_ladder(res["Q"], res["lambdas"],
+                                     res["pv_liu"], res["pv_saddlepoint"],
+                                     Wmat=res.get("Wmat"))
+        info = {k: res[k] for k in ("rho1", "e2", "g2", "eps2")}
+        info.update({k: res[k] for k in ("Q", "lambdas", "pv_liu",
+                                         "pv_saddlepoint")})
+        if self.ckpt is not None:
+            self.ckpt.clear()
+        return np.asarray(pvalues, float), info
+
+
+def sharded_interaction_batch(mesh: Mesh, ctx, G, G_score, n: int,
+                              delta_cfg=(-18.0, 18.0, 64, 60)):
+    """One-shot shard_mapped interaction batch (functional form)."""
+    out_shapes = jax.eval_shape(
+        lambda c, g, gs: engine.interaction_batch(c, g, gs, n,
+                                                  delta_cfg=delta_cfg),
+        ctx, G, G_score,
+    )
+    fn = _sharded_impl(mesh, n, delta_cfg, 40,
+                       {"ctx_tree": ctx, "out_shapes": out_shapes})
+    return fn(ctx, G, G_score)
