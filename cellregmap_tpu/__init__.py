@@ -25,7 +25,14 @@ from .api import (
     get_L_values,
 )
 from .utils.maf import compute_maf
-from .models.pvalues import lrt_pvalues, davies_pvalue, liu_sf, saddlepoint_sf
+from .models.pvalues import (
+    lrt_pvalues,
+    davies_pvalue,
+    liu_sf,
+    saddlepoint_sf,
+    score_statistic_liu_params,
+    qmin,
+)
 from .sim import (
     Variances,
     Simulation,
@@ -48,6 +55,8 @@ __all__ = [
     "davies_pvalue",
     "liu_sf",
     "saddlepoint_sf",
+    "score_statistic_liu_params",
+    "qmin",
     "ScanConfig",
     "DEFAULT_CONFIG",
     "Term",

@@ -41,6 +41,20 @@ def _pad_batch(G, batch):
     return G, n_snps
 
 
+def _batch_starts(total, batch, progress, desc):
+    """Batch-start iterator with optional tqdm progress (the reference shows
+    per-SNP tqdm bars, _cellregmap.py:270,340)."""
+    starts = range(0, total, batch)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            return tqdm(starts, desc=desc, unit="batch")
+        except ImportError:
+            pass
+    return starts
+
+
 class CellRegMap:
     """Mixed-model with genetic effect heterogeneity (TPU-native engine).
 
@@ -114,7 +128,8 @@ class CellRegMap:
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid, cfg.n_golden_iters)
         outs = []
-        for start in range(0, Gp.shape[1], batch):
+        for start in _batch_starts(Gp.shape[1], batch, cfg.progress,
+                                   "scan_interaction"):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
             gsb = jnp.asarray(Gsp[:, start : start + batch], self._dtype)
             out = engine.interaction_kernel(ctx, gb, gsb, self._n,

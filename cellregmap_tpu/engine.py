@@ -204,12 +204,105 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
 
     lo, hi, n_grid, n_iters = delta_cfg
 
-    def per_snp(gt_k, t, ata, ay, aw, ag, wg, gg_s, gy_s):
+    # --- complement Grams: rho-independent (the V rotations are orthonormal,
+    # so all Grams of rotated quantities equal their Z-basis Grams) ---
+    CWW = ctx.WW - ctx.ZW.T @ ctx.ZW                   # (p, p)
+    CWy = ctx.Wy - ctx.ZW.T @ ctx.Zy                   # (p,)
+    Cyy = ctx.yy - ctx.Zy @ ctx.Zy                     # ()
+    CWg = Wg - ctx.ZW.T @ ZG                           # (p, S)
+    Cgy = gy - ZG.T @ ctx.Zy                           # (S,)
+    Cgg = gg - jnp.sum(ZG * ZG, axis=0)                # (S,)
+
+    # --- coarse delta grid as snp-shared batched GEMMs ---
+    # The GLS weights w = 1/((1-delta) S_rho + delta) depend only on
+    # (rho, delta): one small (nrho, K, R) weight tensor serves every
+    # variant; vmapping the grid per variant instead would materialize
+    # O(S * nrho * K * R) intermediates (tens of GB at production sizes).
+    R = ctx.S.shape[1]
+    deltas = jax.nn.sigmoid(jnp.linspace(lo, hi, n_grid)).astype(ctx.y.dtype)
+    d_grid = (1 - deltas)[None, :, None] * ctx.S[:, None, :] \
+        + deltas[None, :, None]                         # (nrho, K, R)
+    Wd = 1.0 / d_grid
+    logdet_grid = jnp.sum(jnp.log(d_grid), axis=-1) \
+        + (n - R) * jnp.log(deltas)[None, :]            # (nrho, K)
+
+    Wy_t = Wt_all * yt_all[:, :, None]                  # (nrho, R, p)
+    red_yy = jnp.einsum("okr,or->ok", Wd, yt_all * yt_all)      # (nrho, K)
+    red_Wy = jnp.einsum("okr,orp->okp", Wd, Wy_t)               # (nrho, K, p)
+    red_WW = jnp.einsum("okr,orp,orq->okpq", Wd, Wt_all, Wt_all)
+    red_gy = jnp.einsum("okr,ors->oks", Wd, Gt_all * yt_all[:, :, None])
+    red_gW = jnp.einsum("okr,orp,ors->okps", Wd, Wt_all, Gt_all)
+    red_gg = jnp.einsum("okr,ors->oks", Wd, Gt_all * Gt_all)
+
+    inv_d = 1.0 / deltas                                # (K,)
+    p1 = p + 1
+    # Assemble grid normal equations: A (S, nrho, K, p1, p1), b, yy.
+    A_WW = red_WW[None] + CWW[None, None, None] * inv_d[None, None, :, None, None]
+    A_gW = (red_gW.transpose(3, 0, 1, 2)
+            + CWg.T[:, None, None, :] * inv_d[None, None, :, None])
+    # A_gW: (S, nrho, K, p)
+    A_gg = (red_gg.transpose(2, 0, 1)
+            + Cgg[:, None, None] * inv_d[None, None, :])        # (S, nrho, K)
+    b_W = red_Wy[None] + CWy[None, None, None, :] * inv_d[None, None, :, None]
+    b_g = (red_gy.transpose(2, 0, 1)
+           + Cgy[:, None, None] * inv_d[None, None, :])         # (S, nrho, K)
+    yy_grid = red_yy[None] + Cyy * inv_d[None, None, :]         # (1, nrho, K)
+
+    Sb_ = A_gg.shape[0]
+    A_full = jnp.zeros((Sb_,) + A_WW.shape[1:3] + (p1, p1), ctx.y.dtype)
+    A_full = A_full.at[..., :p, :p].set(
+        jnp.broadcast_to(A_WW, (Sb_,) + A_WW.shape[1:])
+    )
+    A_full = A_full.at[..., :p, p].set(A_gW)
+    A_full = A_full.at[..., p, :p].set(A_gW)
+    A_full = A_full.at[..., p, p].set(A_gg)
+    b_full = jnp.concatenate(
+        [jnp.broadcast_to(b_W, (Sb_,) + b_W.shape[1:]),
+         b_g[..., None]], axis=-1
+    )                                                   # (S, nrho, K, p1)
+
+    from .ops.linalg import _ridge
+
+    Ar = _ridge(A_full, 1e-12)
+    Lch = jnp.linalg.cholesky(Ar)
+    beta_grid = jax.scipy.linalg.cho_solve((Lch, True), b_full[..., None])[..., 0]
+    rss_grid = jnp.maximum(
+        yy_grid - jnp.sum(b_full * beta_grid, axis=-1),
+        jnp.finfo(ctx.y.dtype).tiny,
+    )                                                   # (S, nrho, K)
+    logdet_a_grid = 2 * jnp.sum(
+        jnp.log(jnp.diagonal(Lch, axis1=-2, axis2=-1)), axis=-1
+    )
+    nu = n - p1
+
+    # logdet(X^T X) is delta-independent: compute once per variant.
+    def _ld_xx(wg_s, gg_s):
+        XX = jnp.block([[ctx.WW, wg_s[:, None]],
+                        [wg_s[None, :], gg_s[None, None]]])
+        from .ops.linalg import sym_pseudo_logdet
+
+        return sym_pseudo_logdet(XX)
+
+    ld_xx = jax.vmap(_ld_xx, in_axes=(1, 0))(Wg, gg)    # (S,)
+
+    lml_grid = -0.5 * (
+        nu * jnp.log(2 * jnp.pi * rss_grid / nu)
+        + logdet_grid[None]
+        + logdet_a_grid
+        - ld_xx[:, None, None]
+        + nu
+    )                                                   # (S, nrho, K)
+    k_grid = jnp.argmax(lml_grid, axis=-1)              # (S, nrho)
+    logit_grid = jnp.linspace(lo, hi, n_grid)
+    br_lo = logit_grid[jnp.maximum(k_grid - 1, 0)]
+    br_hi = logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)]
+
+    def per_snp(gt_k, t, ata, ay, aw, ag, wg, gg_s, gy_s, blo, bhi, ldxx):
         # X = [W, g];  gt_k: (nrho, R) pre-rotated g.
         XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
         Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
 
-        def fit_rho(Wt, gt, yt, S):
+        def fit_rho(Wt, gt, yt, S, lo_b, hi_b):
             Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
             data = lmm_mod.EigData(
                 S=S, Xt=Xt, yt=yt,
@@ -217,10 +310,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
                 cxy=Xy - Xt.T @ yt,
                 cyy=ctx.yy - yt @ yt,
             )
-            return lmm_mod.fit_delta_eig(data, n, True, lo, hi, n_grid,
-                                         n_iters)
+            return lmm_mod.fit_delta_eig_bracketed(
+                data, n, True, lo_b, hi_b, n_iters, ldxx
+            )
 
-        fits = jax.vmap(fit_rho)(Wt_all, gt_k, yt_all, ctx.S)
+        fits = jax.vmap(fit_rho, in_axes=(0, 0, 0, 0, 0, 0))(
+            Wt_all, gt_k, yt_all, ctx.S, blo, bhi
+        )
         k = jnp.argmax(fits.lml)
         take = lambda a: jnp.take(a, k, axis=0)
         v0 = take(fits.v0)
@@ -276,8 +372,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
             "lml": take(fits.lml),
         }
 
-    out = jax.vmap(per_snp, in_axes=(2, 2, 2, 1, 2, 1, 1, 0, 0))(
-        Gt_all, T, AtA, Ay, AW, Ag, Wg, gg, gy
+    out = jax.vmap(per_snp, in_axes=(2, 2, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0))(
+        Gt_all, T, AtA, Ay, AW, Ag, Wg, gg, gy, br_lo, br_hi, ld_xx
     )
     out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
     out["pv_saddlepoint"] = pv_mod.saddlepoint_sf(

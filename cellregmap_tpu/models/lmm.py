@@ -111,7 +111,8 @@ def eig_data(S, Q, X, y):
     )
 
 
-def lml_at_delta_eig(delta, data: EigData, n: int, restricted: bool):
+def lml_at_delta_eig(delta, data: EigData, n: int, restricted: bool,
+                     logdet_xx=None):
     S, Xt, yt, Cxx, cxy, cyy = data
     r = S.shape[0]
     p = Xt.shape[1]
@@ -121,9 +122,13 @@ def lml_at_delta_eig(delta, data: EigData, n: int, restricted: bool):
     b = Xt.T @ (yt * w) + cxy / delta
     yDy = jnp.sum(yt * yt * w) + cyy / delta
     logdet_d = jnp.sum(jnp.log(d)) + (n - r) * jnp.log(delta)
-    from ..ops.linalg import sym_pseudo_logdet
+    if restricted and logdet_xx is None:
+        # delta-independent; callers on the hot path precompute it once
+        from ..ops.linalg import sym_pseudo_logdet
 
-    logdet_xx = sym_pseudo_logdet(Xt.T @ Xt + Cxx) if restricted else 0.0
+        logdet_xx = sym_pseudo_logdet(Xt.T @ Xt + Cxx)
+    elif not restricted:
+        logdet_xx = 0.0
     return _lml_from_normal_eqs(A, b, yDy, logdet_d, logdet_xx, n, p, restricted)
 
 
@@ -155,7 +160,8 @@ class WoodburyData(NamedTuple):
     rho: jax.Array
 
 
-def lml_at_delta_woodbury(delta, data: WoodburyData, n: int, restricted: bool):
+def lml_at_delta_woodbury(delta, data: WoodburyData, n: int, restricted: bool,
+                          logdet_xx=None):
     Lam, Ua, Ux, uy, Aa, Ax, ay, xx, xy, yy, rho = data
     rB = Lam.shape[0]
     p = Ux.shape[1]
@@ -189,28 +195,20 @@ def lml_at_delta_woodbury(delta, data: WoodburyData, n: int, restricted: bool):
         + (n - rB) * jnp.log(delta)
         + 2 * jnp.sum(jnp.log(jnp.diagonal(cap_chol)))
     )
-    from ..ops.linalg import sym_pseudo_logdet
+    if restricted and logdet_xx is None:
+        from ..ops.linalg import sym_pseudo_logdet
 
-    logdet_xx = sym_pseudo_logdet(xx) if restricted else 0.0
+        logdet_xx = sym_pseudo_logdet(xx)
+    elif not restricted:
+        logdet_xx = 0.0
     return _lml_from_normal_eqs(A, b, yDy, logdet_d, logdet_xx, n, p, restricted)
 
 
 # --------------------------------------------------------------------------
 # Golden-section 1-D maximization over logit(delta)
 # --------------------------------------------------------------------------
-def _fit_delta(lml_fn, lo, hi, n_grid, n_iters, dtype):
-    """Maximize ``lml_fn(delta)`` over delta = sigmoid(logit) in [lo, hi].
-
-    Coarse grid argmax -> golden-section refinement with a fixed iteration
-    count (branch-free; jit/vmap friendly).  Returns (delta*, lml*).
-    """
-    grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
-    f = jax.vmap(lambda x: lml_fn(jax.nn.sigmoid(x)))
-    vals = f(grid)
-    k = jnp.argmax(vals)
-    a = grid[jnp.maximum(k - 1, 0)]
-    b = grid[jnp.minimum(k + 1, n_grid - 1)]
-
+def _golden(lml_fn, a, b, n_iters):
+    """Golden-section maximization of lml_fn(sigmoid(x)) on [a, b]."""
     h = b - a
     x1 = a + _INVPHI2 * h
     x2 = a + _INVPHI * h
@@ -238,13 +236,54 @@ def _fit_delta(lml_fn, lo, hi, n_grid, n_iters, dtype):
     return jax.nn.sigmoid(xbest)
 
 
+def _fit_delta(lml_fn, lo, hi, n_grid, n_iters, dtype):
+    """Maximize ``lml_fn(delta)`` over delta = sigmoid(logit) in [lo, hi].
+
+    Coarse grid argmax -> golden-section refinement with a fixed iteration
+    count (branch-free; jit/vmap friendly).
+    """
+    grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
+    vals = jax.vmap(lambda x: lml_fn(jax.nn.sigmoid(x)))(grid)
+    k = jnp.argmax(vals)
+    a = grid[jnp.maximum(k - 1, 0)]
+    b = grid[jnp.minimum(k + 1, n_grid - 1)]
+    return _golden(lml_fn, a, b, n_iters)
+
+
+def fit_delta_eig_bracketed(data: EigData, n: int, restricted: bool,
+                            lo_b, hi_b, n_iters, logdet_xx) -> FitResult:
+    """Golden-section fit within a per-problem bracket (traced bounds).
+
+    The scan engine computes the coarse delta grid as snp-shared batched
+    GEMMs (engine.interaction_batch) and hands each (variant, rho) problem
+    its bracket; this refines it without re-evaluating a grid per problem.
+    """
+    lml_only = lambda delta: lml_at_delta_eig(delta, data, n, restricted,
+                                              logdet_xx)[0]
+    delta = _golden(lml_only, lo_b, hi_b, n_iters)
+    lml, beta, scale, rss = lml_at_delta_eig(delta, data, n, restricted,
+                                             logdet_xx)
+    return FitResult(
+        lml=lml, delta=delta, beta=beta, scale=scale,
+        v0=scale * (1 - delta), v1=scale * delta, rss=rss,
+    )
+
+
 def fit_delta_eig(data: EigData, n: int, restricted: bool,
                   lo=-18.0, hi=18.0, n_grid=64, n_iters=60) -> FitResult:
     """Full profiled fit with the eig backend."""
     dtype = data.yt.dtype
-    lml_only = lambda delta: lml_at_delta_eig(delta, data, n, restricted)[0]
+    if restricted:
+        from ..ops.linalg import sym_pseudo_logdet
+
+        ld_xx = sym_pseudo_logdet(data.Xt.T @ data.Xt + data.Cxx)
+    else:
+        ld_xx = 0.0
+    lml_only = lambda delta: lml_at_delta_eig(delta, data, n, restricted,
+                                              ld_xx)[0]
     delta = _fit_delta(lml_only, lo, hi, n_grid, n_iters, dtype)
-    lml, beta, scale, rss = lml_at_delta_eig(delta, data, n, restricted)
+    lml, beta, scale, rss = lml_at_delta_eig(delta, data, n, restricted,
+                                             ld_xx)
     return FitResult(
         lml=lml, delta=delta, beta=beta, scale=scale,
         v0=scale * (1 - delta), v1=scale * delta, rss=rss,
@@ -255,9 +294,17 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
                        lo=-18.0, hi=18.0, n_grid=64, n_iters=60) -> FitResult:
     """Full profiled fit with the woodbury backend."""
     dtype = data.uy.dtype
-    lml_only = lambda delta: lml_at_delta_woodbury(delta, data, n, restricted)[0]
+    if restricted:
+        from ..ops.linalg import sym_pseudo_logdet
+
+        ld_xx = sym_pseudo_logdet(data.xx)
+    else:
+        ld_xx = 0.0
+    lml_only = lambda delta: lml_at_delta_woodbury(delta, data, n,
+                                                   restricted, ld_xx)[0]
     delta = _fit_delta(lml_only, lo, hi, n_grid, n_iters, dtype)
-    lml, beta, scale, rss = lml_at_delta_woodbury(delta, data, n, restricted)
+    lml, beta, scale, rss = lml_at_delta_woodbury(delta, data, n, restricted,
+                                                  ld_xx)
     return FitResult(
         lml=lml, delta=delta, beta=beta, scale=scale,
         v0=scale * (1 - delta), v1=scale * delta, rss=rss,

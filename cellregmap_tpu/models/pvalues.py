@@ -238,6 +238,35 @@ def davies_pvalue_batch(qs, lambda_rows, lim=20_000_000, acc=1e-8,
     return out
 
 
+def score_statistic_liu_params(q, weights):
+    """Modified-Liu parameters + p-value (reference _math.py:163-180)."""
+    pv, dof_x, ncp_x, mu_q, sigma_q = liu_sf(jnp.asarray(q),
+                                             jnp.asarray(weights))
+    return {
+        "pv": float(pv),
+        "mu_q": float(mu_q),
+        "sigma_q": float(sigma_q),
+        "dof_x": float(dof_x),
+    }
+
+
+def qmin(liu_params):
+    """SKAT-O style per-rho quantile combination (reference _math.py:183-201)."""
+    from scipy.stats import chi2 as _chi2
+
+    n = len(liu_params)
+    T = min(p["pv"] for p in liu_params)
+    out = np.zeros(n)
+    percentile = 1 - T
+    for i in range(n):
+        qv = _chi2.ppf(percentile, liu_params[i]["dof_x"])
+        mu_q = liu_params[i]["mu_q"]
+        sigma_q = liu_params[i]["sigma_q"]
+        dof = liu_params[i]["dof_x"]
+        out[i] = (qv - dof) / (2 * dof) ** 0.5 * sigma_q + mu_q
+    return out
+
+
 # --------------------------------------------------------------------------
 # LRT p-values (reference _cellregmap.py:443-469)
 # --------------------------------------------------------------------------
