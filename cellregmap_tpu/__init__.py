@@ -21,6 +21,7 @@ from .api import (
     run_association,
     run_association_fast,
     run_interaction,
+    run_interaction_multigene,
     estimate_betas,
     get_L_values,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "run_association",
     "run_association_fast",
     "run_interaction",
+    "run_interaction_multigene",
     "estimate_betas",
     "get_L_values",
     "compute_maf",

@@ -85,6 +85,10 @@ class CellRegMap:
         assert y.shape[0] == W.shape[0] == E0.shape[0] == E1.shape[0]
         for L in Ls:
             assert L.ndim == 2 and L.shape[0] == n
+        # NaN/inf guard (the reference crashes deep inside glimix instead)
+        for name, arr in (("y", y), ("W", W), ("E", E0), ("E1", E1)):
+            if not np.isfinite(arr).all():
+                raise ValueError(f"{name} contains non-finite values")
 
         if len(Ls) or hK is not None:
             rho_grid = np.linspace(0, 1, config.n_rho)
@@ -104,6 +108,29 @@ class CellRegMap:
     @property
     def n_samples(self) -> int:
         return self._y.shape[0]
+
+    def with_phenotype(self, y) -> "CellRegMap":
+        """A scanner for a different gene sharing this one's factorization.
+
+        The expensive per-dataset state (workspace basis Z, per-rho
+        eigendecompositions) depends only on (E, W, K) and is reused; only
+        the phenotype rotations are recomputed.  The reference rebuilds the
+        whole object per gene (_cellregmap.py:63-131).
+        """
+        y = np.asarray(y, float).ravel()
+        if y.shape[0] != self._n:
+            raise ValueError("phenotype length mismatch")
+        if not np.isfinite(y).all():
+            raise ValueError("y contains non-finite values")
+        new = object.__new__(CellRegMap)
+        new.__dict__ = dict(self.__dict__)
+        new._y = y
+        yj = jnp.asarray(y, self._dtype)
+        new._ctx = self._ctx._replace(
+            y=yj, Zy=self._ctx.Z.T @ yj, Wy=self._ctx.W.T @ yj, yy=yj @ yj
+        )
+        new._null_assoc = None
+        return new
 
     # -- interaction -------------------------------------------------------
     def scan_interaction(self, G, idx_E=None, idx_G=None):
@@ -268,7 +295,9 @@ class CellRegMap:
         )
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid, cfg.n_golden_iters)
-        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        # The Woodbury grid stage still vmaps per problem; cap the batch so
+        # O(batch * nrho * K * rank) intermediates stay within HBM.
+        batch = min(cfg.snp_batch, 64, max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         normp = np.concatenate([norm, np.repeat(norm[:1],
                                                 Gp.shape[1] - len(norm))])
@@ -369,6 +398,32 @@ def run_association_fast(y, W, E, G, hK=None,
     """Association test (LRT, closed-form fast scanner).  Reference :502-531."""
     crm = CellRegMap(y=y, E=E, W=W, hK=hK, config=config)
     return crm.scan_association_fast(G)
+
+
+def run_interaction_multigene(Y, E, G, W=None, E1=None, E2=None, hK=None,
+                              config: ScanConfig = DEFAULT_CONFIG):
+    """Interaction scan across many genes sharing one factorization.
+
+    ``Y`` is (n_cells, n_genes); the covariance family (E, W, K) is
+    factorized once, each gene swaps in its phenotype rotations, and the
+    compiled batched kernel is reused across genes.  Returns
+    ``(pvalues (n_genes, n_snps), infos list)``.  New capability vs the
+    reference (which rebuilds everything per gene).
+    """
+    Y = np.asarray(Y, float)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    E1 = E if E1 is None else E1
+    E2 = E if E2 is None else E2
+    Ls = None if hK is None else get_L_values(hK, E2)
+    base = CellRegMap(y=Y[:, 0], E=E, W=W, E1=E1, Ls=Ls, config=config)
+    pvs, infos = [], []
+    for j in range(Y.shape[1]):
+        crm = base if j == 0 else base.with_phenotype(Y[:, j])
+        pv, info = crm.scan_interaction(G)
+        pvs.append(pv)
+        infos.append(info)
+    return np.stack(pvs), infos
 
 
 def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,

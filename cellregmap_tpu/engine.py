@@ -197,10 +197,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     gy = G.T @ y                                   # (S,)
 
     # --- per-rho rotations as batched matmuls (not inside the vmap) ---
-    # V: (nrho, R, R); rotate once for all variants and rho values.
+    # V: (nrho, R, R); rotate once for all variants and rho values.  The
+    # score factor T is rotated for ALL rho here too: gathering V per
+    # variant at its best rho would materialize O(S R^2) (tens of GB).
     Gt_all = jnp.einsum("krq,rs->kqs", ctx.V, ZG)      # (nrho, R, S)
     Wt_all = jnp.einsum("krq,rp->kqp", ctx.V, ctx.ZW)  # (nrho, R, p)
     yt_all = jnp.einsum("krq,r->kq", ctx.V, ctx.Zy)    # (nrho, R)
+    Tt_all = jnp.einsum("orq,crs->oqcs", ctx.V, T)     # (nrho, R, C, S)
 
     lo, hi, n_grid, n_iters = delta_cfg
 
@@ -297,7 +300,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     br_lo = logit_grid[jnp.maximum(k_grid - 1, 0)]
     br_hi = logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)]
 
-    def per_snp(gt_k, t, ata, ay, aw, ag, wg, gg_s, gy_s, blo, bhi, ldxx):
+    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s, blo, bhi, ldxx):
         # X = [W, g];  gt_k: (nrho, R) pre-rotated g.
         XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
         Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
@@ -321,17 +324,17 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         take = lambda a: jnp.take(a, k, axis=0)
         v0 = take(fits.v0)
         v1 = take(fits.v1)
-        Vb = jnp.take(ctx.V, k, axis=0)                              # (R, R)
         Sb = jnp.take(ctx.S, k, axis=0)                              # (R,)
         rho1 = jnp.take(ctx.rho, k)
 
-        # rotated quantities in the best-rho eigenbasis
+        # rotated quantities in the best-rho eigenbasis (all pre-rotated;
+        # only cheap (R,.)-sized gathers here)
         Xt = jnp.concatenate(
             [jnp.take(Wt_all, k, axis=0),
              jnp.take(gt_k, k, axis=0)[:, None]], axis=1
         )                                                            # (R, p+1)
         yt = jnp.take(yt_all, k, axis=0)                             # (R,)
-        At = Vb.T @ t.T                                              # (R, C)
+        At = jnp.take(tt_k, k, axis=0)                               # (R, C)
 
         omega = (v0 * Sb) / (v1 + v0 * Sb)                           # (R,)
 
@@ -372,8 +375,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
             "lml": take(fits.lml),
         }
 
-    out = jax.vmap(per_snp, in_axes=(2, 2, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0))(
-        Gt_all, T, AtA, Ay, AW, Ag, Wg, gg, gy, br_lo, br_hi, ld_xx
+    out = jax.vmap(per_snp, in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0))(
+        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy, br_lo, br_hi, ld_xx
     )
     out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
     out["pv_saddlepoint"] = pv_mod.saddlepoint_sf(

@@ -208,3 +208,17 @@ def test_compute_maf():
     X[0, 0] = np.nan
     maf = crt.compute_maf(X)
     assert np.isfinite(maf).all()
+
+
+def test_multigene_scan_matches_per_gene():
+    d = _dataset(seed=41, S=4)
+    rng = np.random.default_rng(5)
+    Y = np.stack([d["y"], d["y"] + rng.normal(size=d["n"])], axis=1)
+    pvs, infos = crt.run_interaction_multigene(
+        Y, d["E"], d["G"], W=d["W"], hK=d["hK"]
+    )
+    assert pvs.shape == (2, 4)
+    # gene 1 standalone must match
+    pv1, _ = crt.run_interaction(y=Y[:, 1], E=d["E"], G=d["G"], W=d["W"],
+                                 hK=d["hK"])
+    assert_allclose(pvs[1], pv1, atol=1e-9)
