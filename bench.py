@@ -88,6 +88,29 @@ def main():
     t_scan = time.perf_counter() - t0
     engine_tps = n_snps / t_scan
 
+    # phase breakdown: device kernel alone vs host Davies pass
+    import jax.numpy as jnp
+    from cellregmap_tpu import engine
+    from cellregmap_tpu.models import pvalues as pv_mod
+
+    gb = jnp.asarray(G[:, :batch], crm._dtype)
+    delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                 cfg.n_delta_grid, cfg.n_golden_iters)
+    out = engine.interaction_kernel(crm._ctx, gb, gb, n_cells,
+                                    delta_cfg=delta_cfg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = engine.interaction_kernel(crm._ctx, gb, gb, n_cells,
+                                        delta_cfg=delta_cfg)
+        jax.block_until_ready(out)
+    t_kernel = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    pv_mod.davies_pvalue_batch(np.asarray(out["Q"]),
+                               np.asarray(out["lambdas"]),
+                               lim=cfg.davies_lim, acc=cfg.davies_acc)
+    t_davies = time.perf_counter() - t0
+
     # parity on the baseline subset
     max_abs_diff = float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
 
@@ -107,6 +130,9 @@ def main():
         "setup_s": round(t_setup, 2),
         "compile_s": round(t_compile, 2),
         "scan_s": round(t_scan, 2),
+        "kernel_s_per_batch": round(t_kernel, 3),
+        "kernel_tests_per_sec": round(batch / t_kernel, 1),
+        "davies_s_per_batch": round(t_davies, 3),
     }
     print(json.dumps(result))
 

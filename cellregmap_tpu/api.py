@@ -159,40 +159,47 @@ class CellRegMap:
                                    "scan_interaction"):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
             gsb = jnp.asarray(Gsp[:, start : start + batch], self._dtype)
-            out = engine.interaction_kernel(ctx, gb, gsb, self._n,
-                                            delta_cfg=delta_cfg)
+            out = engine.interaction_kernel(
+                ctx, gb, gsb, self._n, delta_cfg=delta_cfg,
+                # exact (davies) mode gets its eigenvalues on host from
+                # Wmat; skip the costly batched device eigh + tails
+                device_pvalues=(cfg.pvalue_method != "davies"),
+            )
             outs.append(jax.device_get(out))
         res = {k: np.concatenate([o[k] for o in outs])[:n_snps]
                for k in outs[0]}
 
-        pvalues = self._pvalue_ladder(res["Q"], res["lambdas"],
-                                      res["pv_liu"], res["pv_saddlepoint"],
-                                      Wmat=res.get("Wmat"))
+        pvalues, lambdas = self._pvalue_ladder(
+            res["Q"], res["lambdas"], res["pv_liu"], res["pv_saddlepoint"],
+            Wmat=res.get("Wmat"),
+        )
         info = {k: np.asarray(res[k], float)
                 for k in ("rho1", "e2", "g2", "eps2")}
         info["Q"] = res["Q"]
-        info["lambdas"] = res["lambdas"]
+        info["lambdas"] = lambdas
         info["pv_liu"] = res["pv_liu"]
         info["pv_saddlepoint"] = res["pv_saddlepoint"]
         return np.asarray(pvalues, float), info
 
     def _pvalue_ladder(self, Q, lambdas, pv_liu, pv_sp, Wmat=None):
+        """Returns (pvalues, lambdas_used)."""
         cfg = self._cfg
         method = cfg.pvalue_method
         if method == "liu":
-            return pv_liu
+            return pv_liu, np.asarray(lambdas)
         if method == "saddlepoint":
-            return pv_sp
-        if Wmat is not None:
+            return pv_sp, np.asarray(lambdas)
+        if method == "davies" and Wmat is not None:
             # host LAPACK eigenvalues of the weight matrices for the exact
             # path (the TPU backend's device eigh is only ~1e-7 accurate)
             Wm = np.asarray(Wmat, float)
             lambdas = np.linalg.eigvalsh((Wm + np.swapaxes(Wm, -1, -2)) / 2)
         if method == "davies":
-            return pv_mod.davies_pvalue_batch(
+            pv = pv_mod.davies_pvalue_batch(
                 Q, lambdas, lim=cfg.davies_lim, acc=cfg.davies_acc,
                 lambda_filter_ratio=cfg.lambda_filter_ratio,
             )
+            return pv, np.asarray(lambdas)
         if method == "auto":
             pv = np.asarray(pv_sp, float).copy()
             refine = pv < cfg.davies_threshold
@@ -202,7 +209,7 @@ class CellRegMap:
                     lim=cfg.davies_lim, acc=cfg.davies_acc,
                     lambda_filter_ratio=cfg.lambda_filter_ratio,
                 )
-            return pv
+            return pv, np.asarray(lambdas)
         raise ValueError(f"unknown pvalue_method {method!r}")
 
     # -- association -------------------------------------------------------

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from .models import lmm as lmm_mod
 from .models import pvalues as pv_mod
 from .ops.linalg import spd_solve, sym_pseudo_solve
-from .ops.lowrank import gram_eigh, orthonormal_basis
 
 
 class NullContext(NamedTuple):
@@ -166,7 +165,8 @@ def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
 # Interaction scan kernel
 # --------------------------------------------------------------------------
 def interaction_batch(ctx: NullContext, G, G_score, n: int,
-                      delta_cfg=(-18.0, 18.0, 64, 60), saddle_iters=40):
+                      delta_cfg=(-18.0, 18.0, 64, 60), saddle_iters=40,
+                      device_pvalues: bool = True):
     """Score-test interaction scan for one variant batch (pure; see
     :func:`interaction_kernel` for the jitted entry).
 
@@ -357,9 +357,14 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         APA = AKA - AKX @ B[:, 1:]
         Q = 0.5 * APy @ APy
         Wmat = 0.25 * (APA + APA.T)  # 1/2 A^T P A, symmetrized
-        from .ops.linalg import safe_eigh
+        if device_pvalues:
+            from .ops.linalg import safe_eigh
 
-        lam = jnp.maximum(safe_eigh(Wmat)[0], 0.0)
+            lam = jnp.maximum(safe_eigh(Wmat)[0], 0.0)
+        else:
+            # exact path computes eigenvalues on host (LAPACK) from Wmat;
+            # skip the costly batched device eigh
+            lam = jnp.zeros(Wmat.shape[:1], Wmat.dtype)
 
         return {
             "Q": Q,
@@ -378,16 +383,21 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     out = jax.vmap(per_snp, in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0))(
         Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy, br_lo, br_hi, ld_xx
     )
-    out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
-    out["pv_saddlepoint"] = pv_mod.saddlepoint_sf(
-        out["Q"], out["lambdas"], n_iters=saddle_iters
-    )
+    if device_pvalues:
+        out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
+        out["pv_saddlepoint"] = pv_mod.saddlepoint_sf(
+            out["Q"], out["lambdas"], n_iters=saddle_iters
+        )
+    else:
+        out["pv_liu"] = jnp.ones_like(out["Q"])
+        out["pv_saddlepoint"] = jnp.ones_like(out["Q"])
     return out
 
 
 interaction_kernel = functools.partial(
     jax.jit(interaction_batch,
-            static_argnames=("n", "delta_cfg", "saddle_iters"))
+            static_argnames=("n", "delta_cfg", "saddle_iters",
+                             "device_pvalues"))
 )
 
 

@@ -146,12 +146,13 @@ class ShardedScanner:
                 acc = {k: [v2] for k, v2 in flat.items()}
 
         res = {k: np.concatenate(v)[:n_snps] for k, v in acc.items()}
-        pvalues = crm._pvalue_ladder(res["Q"], res["lambdas"],
-                                     res["pv_liu"], res["pv_saddlepoint"],
-                                     Wmat=res.get("Wmat"))
+        pvalues, lambdas = crm._pvalue_ladder(
+            res["Q"], res["lambdas"], res["pv_liu"], res["pv_saddlepoint"],
+            Wmat=res.get("Wmat"),
+        )
         info = {k: res[k] for k in ("rho1", "e2", "g2", "eps2")}
-        info.update({k: res[k] for k in ("Q", "lambdas", "pv_liu",
-                                         "pv_saddlepoint")})
+        info.update({k: res[k] for k in ("Q", "pv_liu", "pv_saddlepoint")})
+        info["lambdas"] = lambdas
         if self.ckpt is not None:
             self.ckpt.clear()
         return np.asarray(pvalues, float), info

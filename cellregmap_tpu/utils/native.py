@@ -36,12 +36,13 @@ def _cache_dir() -> Path:
     return p
 
 
-def _build() -> Path | None:
-    src = _source_path()
+def _build_generic(source_name: str, lib_prefix: str) -> Path | None:
+    """Compile a C++ source from cellregmap_tpu/native into the cache."""
+    src = Path(__file__).resolve().parent.parent / "native" / source_name
     if not src.exists():
         return None
     digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
-    out = _cache_dir() / f"libqfc_{digest}.so"
+    out = _cache_dir() / f"{lib_prefix}_{digest}.so"
     if out.exists():
         return out
     cmd = [
@@ -53,6 +54,10 @@ def _build() -> Path | None:
     except Exception:
         return None
     return out if out.exists() else None
+
+
+def _build() -> Path | None:
+    return _build_generic("qfc.cc", "libqfc")
 
 
 class QfcLib:
