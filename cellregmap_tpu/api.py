@@ -245,10 +245,13 @@ class CellRegMap:
         cfg = self._cfg
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid, cfg.n_golden_iters)
-        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        # the per-variant refit still vmaps its delta grid; cap the batch so
+        # O(batch * K * R) intermediates stay within HBM
+        batch = min(cfg.snp_batch, 128, max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         alt = []
-        for start in range(0, Gp.shape[1], batch):
+        for start in _batch_starts(Gp.shape[1], batch, cfg.progress,
+                                   "scan_association"):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
             lml, _ = engine.association_refit_kernel(
                 self._ctx, gb, k, self._n, delta_cfg=delta_cfg

@@ -166,7 +166,8 @@ def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
 # --------------------------------------------------------------------------
 def interaction_batch(ctx: NullContext, G, G_score, n: int,
                       delta_cfg=(-18.0, 18.0, 64, 60), saddle_iters=40,
-                      device_pvalues: bool = True):
+                      device_pvalues: bool = True,
+                      profile_stage: str = "full"):
     """Score-test interaction scan for one variant batch (pure; see
     :func:`interaction_kernel` for the jitted entry).
 
@@ -300,12 +301,110 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     br_lo = logit_grid[jnp.maximum(k_grid - 1, 0)]
     br_hi = logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)]
 
-    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s, blo, bhi, ldxx):
+    if profile_stage == "grid":  # debug: timing bisection
+        return {"br_lo": br_lo, "br_hi": br_hi, "T": T, "Tt": Tt_all}
+
+    # --- batched zoom refinement ---
+    # Per-problem golden sections (60 sequential data-dependent iterations)
+    # were ~80% of kernel time on TPU (each sequential step pays a latency
+    # floor).  Instead: a few zoom rounds, each evaluating a 16-point
+    # per-problem delta grid for ALL (variant, rho) problems at once as
+    # batched GEMMs, finished by a parabolic-vertex step that is free (it
+    # reuses the last round's values).  3 rounds shrink the K=256 grid cell
+    # to ~6e-5 logit; the parabola resolves the optimum to ~1e-9.
+    K2 = 16
+    n_rounds = 3
+    GY_t = Gt_all * yt_all[:, :, None]                  # (nrho, R, S)
+    G2_t = Gt_all * Gt_all                              # (nrho, R, S)
+    GW_t = Gt_all[:, :, None, :] * Wt_all[..., None]    # (nrho, R, p, S)
+    yy_t = yt_all * yt_all                              # (nrho, R)
+    CWg_s = CWg.T                                       # (S, p)
+
+    def zoom_lml(logits):
+        """lml at per-problem logits (S, nrho, K2) via batched GEMMs."""
+        deltas = jax.nn.sigmoid(logits)
+        d = (1 - deltas)[..., None] * ctx.S[None, :, None, :] \
+            + deltas[..., None]                         # (S, nrho, K2, R)
+        w = 1.0 / d
+        logdet_d = jnp.sum(jnp.log(d), axis=-1) \
+            + (n - R) * jnp.log(deltas)                 # (S, nrho, K2)
+        r_yy = jnp.einsum("sokr,or->sok", w, yy_t)
+        r_Wy = jnp.einsum("sokr,orp->sokp", w, Wy_t)
+        r_WW = jnp.einsum("sokr,orp,orq->sokpq", w, Wt_all, Wt_all)
+        r_gy = jnp.einsum("sokr,ors->sok", w, GY_t)
+        r_gW = jnp.einsum("sokr,orps->sokp", w, GW_t)
+        r_gg = jnp.einsum("sokr,ors->sok", w, G2_t)
+        idl = 1.0 / deltas                              # (S, nrho, K2)
+
+        A_top = jnp.concatenate(
+            [r_WW + CWW[None, None, None] * idl[..., None, None],
+             (r_gW + CWg_s[:, None, None, :] * idl[..., None])[..., None]],
+            axis=-1,
+        )                                               # (S,nrho,K2,p,p1)
+        A_bot = jnp.concatenate(
+            [r_gW + CWg_s[:, None, None, :] * idl[..., None],
+             (r_gg + Cgg[:, None, None] * idl)[..., None]],
+            axis=-1,
+        )[..., None, :]                                 # (S,nrho,K2,1,p1)
+        A = jnp.concatenate([A_top, A_bot], axis=-2)
+        b = jnp.concatenate(
+            [r_Wy + CWy[None, None, None, :] * idl[..., None],
+             (r_gy + Cgy[:, None, None] * idl)[..., None]],
+            axis=-1,
+        )                                               # (S,nrho,K2,p1)
+        yyv = r_yy + Cyy * idl
+
+        Lz = jnp.linalg.cholesky(_ridge(A, 1e-12))
+        beta = jax.scipy.linalg.cho_solve((Lz, True), b[..., None])[..., 0]
+        rss = jnp.maximum(yyv - jnp.sum(b * beta, axis=-1),
+                          jnp.finfo(b.dtype).tiny)
+        logdet_a = 2 * jnp.sum(
+            jnp.log(jnp.diagonal(Lz, axis1=-2, axis2=-1)), axis=-1
+        )
+        return -0.5 * (
+            nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d + logdet_a
+            - ld_xx[:, None, None] + nu
+        )
+
+    def zoom_round(carry):
+        blo, bhi = carry                                # (S, nrho)
+        t = jnp.linspace(0.0, 1.0, K2, dtype=blo.dtype)
+        logits = blo[..., None] + (bhi - blo)[..., None] * t
+        lml = zoom_lml(logits)
+        kz = jnp.argmax(lml, axis=-1)                   # (S, nrho)
+        center = jnp.take_along_axis(logits, kz[..., None], axis=-1)[..., 0]
+        cell = (bhi - blo) / (K2 - 1)
+        return ((jnp.maximum(center - cell, blo),
+                 jnp.minimum(center + cell, bhi)), (logits, lml, kz))
+
+    carry = (br_lo, br_hi)
+    for _ in range(n_rounds):
+        carry, (z_logits, z_lml, z_k) = zoom_round(carry)
+
+    # parabolic vertex through (best-1, best, best+1) of the last round —
+    # no extra objective evaluations needed
+    kc = jnp.clip(z_k, 1, K2 - 2)
+    f0 = jnp.take_along_axis(z_lml, (kc - 1)[..., None], axis=-1)[..., 0]
+    f1 = jnp.take_along_axis(z_lml, kc[..., None], axis=-1)[..., 0]
+    f2 = jnp.take_along_axis(z_lml, (kc + 1)[..., None], axis=-1)[..., 0]
+    xc = jnp.take_along_axis(z_logits, kc[..., None], axis=-1)[..., 0]
+    h = z_logits[..., 1] - z_logits[..., 0]             # last-round spacing
+    denom = f0 - 2 * f1 + f2
+    shift = jnp.where(jnp.abs(denom) > 0,
+                      0.5 * h * (f0 - f2) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    shift = jnp.clip(shift, -h, h)
+    delta_star = jax.nn.sigmoid(xc + shift)             # (S, nrho)
+
+    if profile_stage == "zoom":  # debug: timing bisection
+        return {"delta_star": delta_star, "T": T, "Tt": Tt_all}
+
+    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s, dstar, ldxx):
         # X = [W, g];  gt_k: (nrho, R) pre-rotated g.
         XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
         Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
 
-        def fit_rho(Wt, gt, yt, S, lo_b, hi_b):
+        def eval_rho(Wt, gt, yt, S, d_opt):
             Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
             data = lmm_mod.EigData(
                 S=S, Xt=Xt, yt=yt,
@@ -313,12 +412,16 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
                 cxy=Xy - Xt.T @ yt,
                 cyy=ctx.yy - yt @ yt,
             )
-            return lmm_mod.fit_delta_eig_bracketed(
-                data, n, True, lo_b, hi_b, n_iters, ldxx
+            lml, beta, scale, rss = lmm_mod.lml_at_delta_eig(
+                d_opt, data, n, True, ldxx
+            )
+            return lmm_mod.FitResult(
+                lml=lml, delta=d_opt, beta=beta, scale=scale,
+                v0=scale * (1 - d_opt), v1=scale * d_opt, rss=rss,
             )
 
-        fits = jax.vmap(fit_rho, in_axes=(0, 0, 0, 0, 0, 0))(
-            Wt_all, gt_k, yt_all, ctx.S, blo, bhi
+        fits = jax.vmap(eval_rho, in_axes=(0, 0, 0, 0, 0))(
+            Wt_all, gt_k, yt_all, ctx.S, dstar
         )
         k = jnp.argmax(fits.lml)
         take = lambda a: jnp.take(a, k, axis=0)
@@ -380,8 +483,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
             "lml": take(fits.lml),
         }
 
-    out = jax.vmap(per_snp, in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0))(
-        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy, br_lo, br_hi, ld_xx
+    out = jax.vmap(per_snp, in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0))(
+        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy, delta_star, ld_xx
     )
     if device_pvalues:
         out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
@@ -397,7 +500,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
 interaction_kernel = functools.partial(
     jax.jit(interaction_batch,
             static_argnames=("n", "delta_cfg", "saddle_iters",
-                             "device_pvalues"))
+                             "device_pvalues", "profile_stage"))
 )
 
 
