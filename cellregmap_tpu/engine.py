@@ -313,7 +313,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # reuses the last round's values).  3 rounds shrink the K=256 grid cell
     # to ~6e-5 logit; the parabola resolves the optimum to ~1e-9.
     K2 = 16
-    n_rounds = 3
+    n_rounds = 1
     GY_t = Gt_all * yt_all[:, :, None]                  # (nrho, R, S)
     G2_t = Gt_all * Gt_all                              # (nrho, R, S)
     GW_t = Gt_all[:, :, None, :] * Wt_all[..., None]    # (nrho, R, p, S)
@@ -380,24 +380,71 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     carry = (br_lo, br_hi)
     for _ in range(n_rounds):
         carry, (z_logits, z_lml, z_k) = zoom_round(carry)
+    br_lo, br_hi = carry
 
-    # parabolic vertex through (best-1, best, best+1) of the last round —
-    # no extra objective evaluations needed
-    kc = jnp.clip(z_k, 1, K2 - 2)
-    f0 = jnp.take_along_axis(z_lml, (kc - 1)[..., None], axis=-1)[..., 0]
-    f1 = jnp.take_along_axis(z_lml, kc[..., None], axis=-1)[..., 0]
-    f2 = jnp.take_along_axis(z_lml, (kc + 1)[..., None], axis=-1)[..., 0]
-    xc = jnp.take_along_axis(z_logits, kc[..., None], axis=-1)[..., 0]
-    h = z_logits[..., 1] - z_logits[..., 0]             # last-round spacing
-    denom = f0 - 2 * f1 + f2
-    shift = jnp.where(jnp.abs(denom) > 0,
-                      0.5 * h * (f0 - f2) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-    shift = jnp.clip(shift, -h, h)
-    delta_star = jax.nn.sigmoid(xc + shift)             # (S, nrho)
+    # --- safeguarded Newton polish on the analytic REML derivatives ---
+    # Working set per iteration is only (S, nrho, R) (no K2 axis, no logs);
+    # quadratic convergence from the zoomed bracket reaches machine
+    # resolution in a few iterations; bisection fallback keeps it safe.
+    ZWZW = ctx.ZW.T @ ctx.ZW                            # (p, p)
+    ZWZg = (ctx.ZW.T @ ZG).T                            # (S, p)
+    Zgg = jnp.sum(ZG * ZG, axis=0)                      # (S,)
+    Sb_n = gg.shape[0]
+    XX_all = jnp.zeros((Sb_n, p1, p1), ctx.y.dtype)
+    XX_all = XX_all.at[:, :p, :p].set(
+        jnp.broadcast_to(ctx.WW, (Sb_n, p, p)))
+    XX_all = XX_all.at[:, :p, p].set(Wg.T)
+    XX_all = XX_all.at[:, p, :p].set(Wg.T)
+    XX_all = XX_all.at[:, p, p].set(gg)
+    XzG_all = jnp.zeros((Sb_n, p1, p1), ctx.y.dtype)
+    XzG_all = XzG_all.at[:, :p, :p].set(
+        jnp.broadcast_to(ZWZW, (Sb_n, p, p)))
+    XzG_all = XzG_all.at[:, :p, p].set(ZWZg)
+    XzG_all = XzG_all.at[:, p, :p].set(ZWZg)
+    XzG_all = XzG_all.at[:, p, p].set(Zgg)
+    Cxx_all = XX_all - XzG_all                          # (S, p1, p1)
+    cxy_all = jnp.concatenate(
+        [jnp.broadcast_to(CWy, (Sb_n, p)), Cgy[:, None]], axis=-1
+    )                                                   # (S, p1)
+
+    def one_rho_deriv(delta_so, Wt, gt, yt, S_rho, Cxx_s, cxy_s):
+        Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
+        data = lmm_mod.EigData(S=S_rho, Xt=Xt, yt=yt, Cxx=Cxx_s,
+                               cxy=cxy_s, cyy=Cyy)
+        return lmm_mod.reml_delta_derivatives(delta_so, data, n)
+
+    deriv_rho = jax.vmap(one_rho_deriv,
+                         in_axes=(0, 0, 0, 0, 0, None, None))
+    deriv_all = jax.vmap(deriv_rho,
+                         in_axes=(0, None, 2, None, None, 0, 0))
+
+    def newton_body(_, st):
+        x, lo_b, hi_b = st                              # (S, nrho) logits
+        delta = jax.nn.sigmoid(x)
+        Lp, Lpp = deriv_all(delta, Wt_all, Gt_all, yt_all, ctx.S,
+                            Cxx_all, cxy_all)
+        g_sig = delta * (1 - delta)
+        Lx_p = Lp * g_sig
+        Lx_pp = Lpp * g_sig * g_sig + Lp * g_sig * (1 - 2 * delta)
+        lo2 = jnp.where(Lx_p > 0, x, lo_b)
+        hi2 = jnp.where(Lx_p > 0, hi_b, x)
+        x_newton = x - Lx_p / Lx_pp
+        # inclusive bounds: at convergence x_newton == x == one bracket end;
+        # an exclusive test would bounce the converged iterate to the
+        # bracket midpoint
+        ok = (Lx_pp < 0) & (x_newton >= lo2) & (x_newton <= hi2) \
+            & jnp.isfinite(x_newton)
+        x_new = jnp.where(ok, x_newton, 0.5 * (lo2 + hi2))
+        return x_new, lo2, hi2
+
+    x0 = 0.5 * (br_lo + br_hi)
+    x_fin, _, _ = jax.lax.fori_loop(0, 3, newton_body,
+                                    (x0, br_lo, br_hi))
+    delta_star = jax.nn.sigmoid(x_fin)                  # (S, nrho)
 
     if profile_stage == "zoom":  # debug: timing bisection
-        return {"delta_star": delta_star, "T": T, "Tt": Tt_all}
+        return {"delta_star": delta_star, "T": T, "Tt": Tt_all,
+                "br_lo": br_lo, "br_hi": br_hi}
 
     def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s, dstar, ldxx):
         # X = [W, g];  gt_k: (nrho, R) pre-rotated g.

@@ -250,6 +250,66 @@ def _fit_delta(lml_fn, lo, hi, n_grid, n_iters, dtype):
     return _golden(lml_fn, a, b, n_iters)
 
 
+def reml_delta_derivatives(delta, data: EigData, n: int):
+    """(dL/d delta, d2L/d delta2) of the restricted profiled objective.
+
+    Analytic derivatives of the REML lml (as in :func:`lml_at_delta_eig`)
+    with respect to delta — the engine's safeguarded-Newton refinement
+    evaluates these instead of bracketing with many objective evaluations.
+    Validated against finite differences in tests/test_lmm.py.
+
+    Notation: d_r = (1-delta) S_r + delta (eigencomponent weights; the
+    complement has d = delta), e_r = d d_r / d delta = 1 - S_r.
+    """
+    S, Xt, yt, Cxx, cxy, cyy = data
+    r = S.shape[0]
+    p = Xt.shape[1]
+    nu = n - p
+
+    d = (1 - delta) * S + delta
+    e = 1.0 - S
+    w1 = 1.0 / d
+    we2 = e * w1 * w1
+    we3 = e * e * w1 * w1 * w1
+    i1, i2, i3 = 1.0 / delta, 1.0 / delta**2, 1.0 / delta**3
+
+    def quad(w, ic):
+        A = Xt.T @ (Xt * w[:, None]) + Cxx * ic
+        b = Xt.T @ (yt * w) + cxy * ic
+        q = jnp.sum(yt * yt * w) + cyy * ic
+        return A, b, q
+
+    A1, b1, q1 = quad(w1, i1)
+    A2, b2, q2 = quad(we2, i2)
+    A3, b3, q3 = quad(we3, i3)
+
+    from ..ops.linalg import sym_pseudo_solve
+
+    beta = sym_pseudo_solve(A1, b1)
+    rss = jnp.maximum(q1 - b1 @ beta, jnp.finfo(yt.dtype).tiny)
+
+    # A' = -A2, A'' = 2 A3, b' = -b2, b'' = 2 b3, q' = -q2, q'' = 2 q3
+    beta_p = sym_pseudo_solve(A1, -b2 + A2 @ beta)
+    rss_p = -q2 + 2 * (b2 @ beta) - beta @ (A2 @ beta)
+    rss_pp = (2 * q3 - 4 * (b3 @ beta) + 2 * (b2 @ beta_p)
+              - 2 * beta @ (A2 @ beta_p) + 2 * beta @ (A3 @ beta))
+
+    ld_d_p = jnp.sum(e * w1) + (n - r) * i1
+    ld_d_pp = -jnp.sum(e * e * w1 * w1) - (n - r) * i2
+
+    T2 = sym_pseudo_solve(A1, A2)
+    T3 = sym_pseudo_solve(A1, A3)
+    tr_T2 = jnp.trace(T2)
+    tr_T3 = jnp.trace(T3)
+    tr_T2sq = jnp.sum(T2 * T2.T)
+
+    u = rss_p / rss
+    L_p = -0.5 * (nu * u + ld_d_p - tr_T2)
+    L_pp = -0.5 * (nu * (rss_pp / rss - u * u) + ld_d_pp
+                   + 2 * tr_T3 - tr_T2sq)
+    return L_p, L_pp
+
+
 def fit_delta_eig_bracketed(data: EigData, n: int, restricted: bool,
                             lo_b, hi_b, n_iters, logdet_xx) -> FitResult:
     """Golden-section fit within a per-problem bracket (traced bounds).

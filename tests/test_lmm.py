@@ -128,3 +128,22 @@ def test_fast_scan_vs_fixed_delta_refits():
     )
     assert_allclose(np.asarray(res.lml), lml_ref, rtol=1e-10)
     assert_allclose(np.asarray(res.effsizes_g), beta_ref, atol=1e-9)
+
+
+def test_reml_derivatives_vs_finite_differences():
+    rng = np.random.default_rng(9)
+    n, p, m = 45, 2, 6
+    F = rng.normal(size=(n, m))
+    X = np.concatenate([np.ones((n, 1)), rng.normal(size=(n, p - 1))], axis=1)
+    y = rng.normal(size=n)
+    Q0, S0 = economic_qs_linear(jnp.asarray(F))
+    data = L.eig_data(S0, Q0, jnp.asarray(X), jnp.asarray(y))
+    for delta in (0.05, 0.3, 0.7, 0.95):
+        lp, lpp = L.reml_delta_derivatives(jnp.asarray(delta), data, n)
+        h = 1e-6
+        f = lambda dd: float(L.lml_at_delta_eig(jnp.asarray(dd), data, n,
+                                                True)[0])
+        fd1 = (f(delta + h) - f(delta - h)) / (2 * h)
+        fd2 = (f(delta + h) - 2 * f(delta) + f(delta - h)) / h**2
+        assert_allclose(float(lp), fd1, rtol=2e-5, atol=1e-8)
+        assert_allclose(float(lpp), fd2, rtol=2e-3, atol=1e-4)
