@@ -54,7 +54,7 @@ class ScanConfig:
     n_rho: int = 11
     delta_logit_lo: float = -18.0
     delta_logit_hi: float = 18.0
-    n_delta_grid: int = 512
+    n_delta_grid: int = 1024
     n_golden_iters: int = 60
     snp_batch: int = 256
     pvalue_method: str = "davies"

@@ -148,7 +148,8 @@ class CellRegMap:
                                               self._dtype))
         Gs = G if idx_G is None else G[np.asarray(idx_G), :]
 
-        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        batch = min(cfg.snp_batch, self._auto_batch_cap(),
+                    max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         Gsp, _ = _pad_batch(Gs, batch)
 
@@ -180,6 +181,19 @@ class CellRegMap:
         info["pv_liu"] = res["pv_liu"]
         info["pv_saddlepoint"] = res["pv_saddlepoint"]
         return np.asarray(pvalues, float), info
+
+    def _auto_batch_cap(self) -> int:
+        """Variant-batch cap keeping refinement temps within HBM.
+
+        The zoom/Newton stages materialize O(batch * n_rho * 16 * R)
+        float64 intermediates; budget ~2 GB for that family (several live
+        buffers at once on a 16 GB chip).
+        """
+        R = int(self._ctx.S.shape[1])
+        nrho = int(self._ctx.S.shape[0])
+        budget = 2e9
+        cap = int(budget / (nrho * 16 * max(R, 1) * 8 * 3))
+        return max(16, cap)
 
     def _pvalue_ladder(self, Q, lambdas, pv_liu, pv_sp, Wmat=None):
         """Returns (pvalues, lambdas_used)."""

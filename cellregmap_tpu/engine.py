@@ -240,43 +240,40 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
 
     inv_d = 1.0 / deltas                                # (K,)
     p1 = p + 1
-    # Assemble grid normal equations: A (S, nrho, K, p1, p1), b, yy.
-    A_WW = red_WW[None] + CWW[None, None, None] * inv_d[None, None, :, None, None]
-    A_gW = (red_gW.transpose(3, 0, 1, 2)
-            + CWg.T[:, None, None, :] * inv_d[None, None, :, None])
-    # A_gW: (S, nrho, K, p)
-    A_gg = (red_gg.transpose(2, 0, 1)
-            + Cgg[:, None, None] * inv_d[None, None, :])        # (S, nrho, K)
-    b_W = red_Wy[None] + CWy[None, None, None, :] * inv_d[None, None, :, None]
-    b_g = (red_gy.transpose(2, 0, 1)
-           + Cgy[:, None, None] * inv_d[None, None, :])         # (S, nrho, K)
+    # Assemble grid normal equations as COMPONENT arrays (entries of the
+    # (p1, p1) system as separate (.., K) arrays): on TPU a trailing (2, 2)
+    # axis pair is tile-padded to (2, 128) — a 64x memory blowup that OOMs
+    # the batched tensors; component-wise unrolled Cholesky keeps every op
+    # elementwise with perfect tiling.
+    from .ops.linalg import unrolled_chol_solve_logdet
+
+    # W-block entries are snp-shared (nrho, K); g-row entries are
+    # (S, nrho, K); broadcasting handles the mix.
+    A_rows = []
+    for i in range(p):
+        A_rows.append([
+            red_WW[None, :, :, i, j] + CWW[i, j] * inv_d[None, None, :]
+            for j in range(i + 1)
+        ])
+    g_row = [
+        red_gW.transpose(3, 0, 1, 2)[..., j]
+        + CWg.T[:, None, None, j] * inv_d[None, None, :]
+        for j in range(p)
+    ]
+    g_row.append(red_gg.transpose(2, 0, 1)
+                 + Cgg[:, None, None] * inv_d[None, None, :])
+    A_rows.append(g_row)
+    b_comp = [red_Wy[None, :, :, j] + CWy[j] * inv_d[None, None, :]
+              for j in range(p)]
+    b_comp.append(red_gy.transpose(2, 0, 1)
+                  + Cgy[:, None, None] * inv_d[None, None, :])
     yy_grid = red_yy[None] + Cyy * inv_d[None, None, :]         # (1, nrho, K)
 
-    Sb_ = A_gg.shape[0]
-    A_full = jnp.zeros((Sb_,) + A_WW.shape[1:3] + (p1, p1), ctx.y.dtype)
-    A_full = A_full.at[..., :p, :p].set(
-        jnp.broadcast_to(A_WW, (Sb_,) + A_WW.shape[1:])
-    )
-    A_full = A_full.at[..., :p, p].set(A_gW)
-    A_full = A_full.at[..., p, :p].set(A_gW)
-    A_full = A_full.at[..., p, p].set(A_gg)
-    b_full = jnp.concatenate(
-        [jnp.broadcast_to(b_W, (Sb_,) + b_W.shape[1:]),
-         b_g[..., None]], axis=-1
-    )                                                   # (S, nrho, K, p1)
-
-    from .ops.linalg import _ridge
-
-    Ar = _ridge(A_full, 1e-12)
-    Lch = jnp.linalg.cholesky(Ar)
-    beta_grid = jax.scipy.linalg.cho_solve((Lch, True), b_full[..., None])[..., 0]
-    rss_grid = jnp.maximum(
-        yy_grid - jnp.sum(b_full * beta_grid, axis=-1),
-        jnp.finfo(ctx.y.dtype).tiny,
-    )                                                   # (S, nrho, K)
-    logdet_a_grid = 2 * jnp.sum(
-        jnp.log(jnp.diagonal(Lch, axis1=-2, axis2=-1)), axis=-1
-    )
+    beta_c, logdet_a_grid = unrolled_chol_solve_logdet(A_rows, b_comp)
+    rss_grid = yy_grid
+    for j in range(p1):
+        rss_grid = rss_grid - b_comp[j] * beta_c[j]
+    rss_grid = jnp.maximum(rss_grid, jnp.finfo(ctx.y.dtype).tiny)
     nu = n - p1
 
     # logdet(X^T X) is delta-independent: compute once per variant.
@@ -313,7 +310,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # reuses the last round's values).  3 rounds shrink the K=256 grid cell
     # to ~6e-5 logit; the parabola resolves the optimum to ~1e-9.
     K2 = 16
-    n_rounds = 1
+    n_rounds = 0  # Newton from the fine shared grid; zoom retained as an
+    # optional escape hatch (set >0 if a pathological objective needs it)
     GY_t = Gt_all * yt_all[:, :, None]                  # (nrho, R, S)
     G2_t = Gt_all * Gt_all                              # (nrho, R, S)
     GW_t = Gt_all[:, :, None, :] * Wt_all[..., None]    # (nrho, R, p, S)
@@ -336,31 +334,28 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         r_gg = jnp.einsum("sokr,ors->sok", w, G2_t)
         idl = 1.0 / deltas                              # (S, nrho, K2)
 
-        A_top = jnp.concatenate(
-            [r_WW + CWW[None, None, None] * idl[..., None, None],
-             (r_gW + CWg_s[:, None, None, :] * idl[..., None])[..., None]],
-            axis=-1,
-        )                                               # (S,nrho,K2,p,p1)
-        A_bot = jnp.concatenate(
-            [r_gW + CWg_s[:, None, None, :] * idl[..., None],
-             (r_gg + Cgg[:, None, None] * idl)[..., None]],
-            axis=-1,
-        )[..., None, :]                                 # (S,nrho,K2,1,p1)
-        A = jnp.concatenate([A_top, A_bot], axis=-2)
-        b = jnp.concatenate(
-            [r_Wy + CWy[None, None, None, :] * idl[..., None],
-             (r_gy + Cgy[:, None, None] * idl)[..., None]],
-            axis=-1,
-        )                                               # (S,nrho,K2,p1)
+        # component-wise assembly + unrolled Cholesky (see the grid stage:
+        # trailing (p1, p1) tensors are tile-padded 64x on TPU)
+        from .ops.linalg import unrolled_chol_solve_logdet
+
+        A_rows = []
+        for i in range(p):
+            A_rows.append([
+                r_WW[..., i, j] + CWW[i, j] * idl for j in range(i + 1)
+            ])
+        g_row = [r_gW[..., j] + CWg_s[:, None, None, j] * idl
+                 for j in range(p)]
+        g_row.append(r_gg + Cgg[:, None, None] * idl)
+        A_rows.append(g_row)
+        b_c = [r_Wy[..., j] + CWy[j] * idl for j in range(p)]
+        b_c.append(r_gy + Cgy[:, None, None] * idl)
         yyv = r_yy + Cyy * idl
 
-        Lz = jnp.linalg.cholesky(_ridge(A, 1e-12))
-        beta = jax.scipy.linalg.cho_solve((Lz, True), b[..., None])[..., 0]
-        rss = jnp.maximum(yyv - jnp.sum(b * beta, axis=-1),
-                          jnp.finfo(b.dtype).tiny)
-        logdet_a = 2 * jnp.sum(
-            jnp.log(jnp.diagonal(Lz, axis1=-2, axis2=-1)), axis=-1
-        )
+        beta_c, logdet_a = unrolled_chol_solve_logdet(A_rows, b_c)
+        rss = yyv
+        for j in range(p1):
+            rss = rss - b_c[j] * beta_c[j]
+        rss = jnp.maximum(rss, jnp.finfo(yyv.dtype).tiny)
         return -0.5 * (
             nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d + logdet_a
             - ld_xx[:, None, None] + nu

@@ -82,6 +82,57 @@ def sym_pseudo_logdet(A: jax.Array, rcond: float = 1e-12) -> jax.Array:
                          axis=-1)
 
 
+def unrolled_chol_solve_logdet(A_rows, b, rcond: float = 1e-12):
+    """Cholesky solve + logdet on component arrays (tiny static dimension).
+
+    ``A_rows[i][j]`` (j <= i) and ``b[i]`` are broadcast-compatible arrays
+    holding the (i, j) entries of a batch of small SPD systems.  The
+    factorization is unrolled over the static size, so every op is
+    elementwise on large arrays — crucial on TPU, where a trailing
+    (p, p) = (2, 2) axis pair is tile-padded to (2, 128), a 64x memory
+    blowup that OOMs batched-normal-equation tensors.
+
+    Returns (x list, logdet array).  A ridge of rcond * max(diag) keeps
+    rank-deficient systems solvable (collinear fixed effects).
+    """
+    m = len(A_rows)
+    diag_max = A_rows[0][0]
+    for i in range(1, m):
+        diag_max = jnp.maximum(diag_max, A_rows[i][i])
+    ridge = rcond * jnp.maximum(diag_max, 1.0)
+
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = A_rows[i][j]
+            if i == j:
+                s = s + ridge
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+
+    # forward substitution L z = b
+    z = [None] * m
+    for i in range(m):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # back substitution L^T x = z
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = z[i]
+        for k in range(i + 1, m):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+
+    logdet = 2.0 * sum(jnp.log(L[i][i]) for i in range(m))
+    return x, logdet
+
+
 def safe_eigh(A: jax.Array):
     """eigh of a PSD matrix, NaN-safe on the TPU backend.
 

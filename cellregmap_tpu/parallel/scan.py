@@ -24,14 +24,15 @@ from .mesh import VARIANT_AXIS, make_mesh
 
 
 def _sharded_impl(mesh: Mesh, n: int, delta_cfg, saddle_iters,
-                  out_struct):
+                  out_struct, device_pvalues: bool = True):
     """Build the shard_mapped interaction kernel for a given mesh/shape."""
     axis = mesh.axis_names[0]
 
     def body(ctx, G, G_score):
         return engine.interaction_batch(ctx, G, G_score, n,
                                         delta_cfg=delta_cfg,
-                                        saddle_iters=saddle_iters)
+                                        saddle_iters=saddle_iters,
+                                        device_pvalues=device_pvalues)
 
     ctx_spec = jax.tree.map(lambda _: P(), out_struct["ctx_tree"])
     out_specs = jax.tree.map(
@@ -74,18 +75,20 @@ class ShardedScanner:
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
-    def _kernel(self, ctx, G_b, Gs_b, n, delta_cfg):
-        key = (G_b.shape, n, delta_cfg)
+    def _kernel(self, ctx, G_b, Gs_b, n, delta_cfg, device_pvalues=True):
+        key = (G_b.shape, n, delta_cfg, device_pvalues)
         if key not in self._compiled:
             out_shapes = jax.eval_shape(
                 lambda c, g, gs: engine.interaction_batch(
-                    c, g, gs, n, delta_cfg=delta_cfg
+                    c, g, gs, n, delta_cfg=delta_cfg,
+                    device_pvalues=device_pvalues,
                 ),
                 ctx, G_b, Gs_b,
             )
             self._compiled[key] = _sharded_impl(
                 self.mesh, n, delta_cfg, 40,
                 {"ctx_tree": ctx, "out_shapes": out_shapes},
+                device_pvalues=device_pvalues,
             )
         return self._compiled[key]
 
@@ -131,12 +134,13 @@ class ShardedScanner:
                 start_batch = state["cursor"]
                 acc = {k: [v] for k, v in state["results"].items()}
 
+        dev_pv = cfg.pvalue_method != "davies"
         n_batches = G.shape[1] // step
         for b in range(start_batch, n_batches):
             sl = slice(b * step, (b + 1) * step)
             gb = jnp.asarray(G[:, sl], crm._dtype)
             gsb = jnp.asarray(Gs[:, sl], crm._dtype)
-            kernel = self._kernel(ctx, gb, gsb, crm._n, delta_cfg)
+            kernel = self._kernel(ctx, gb, gsb, crm._n, delta_cfg, dev_pv)
             out = jax.device_get(kernel(ctx, gb, gsb))
             for k, v in out.items():
                 acc.setdefault(k, []).append(np.asarray(v))
