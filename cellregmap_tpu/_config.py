@@ -54,7 +54,7 @@ class ScanConfig:
     n_rho: int = 11
     delta_logit_lo: float = -18.0
     delta_logit_hi: float = 18.0
-    n_delta_grid: int = 1024
+    n_delta_grid: int = 256
     n_golden_iters: int = 60
     snp_batch: int = 256
     pvalue_method: str = "davies"
@@ -68,6 +68,11 @@ class ScanConfig:
     pv_clip_lo: float = 1e-300
     pv_clip_hi: float = 1.0 - 1.1e-16
     progress: bool = False
+    # Observability (SURVEY 5.1/5.5): when True, scan methods time their
+    # phases (device kernel, p-value ladder, ...) with
+    # utils.trace.PhaseTimers, return them as info["timers"], and emit
+    # structured log events on the "cellregmap_tpu" logger.
+    trace: bool = False
 
     @property
     def rho_grid(self) -> Tuple[float, ...]:

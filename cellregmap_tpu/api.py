@@ -13,6 +13,7 @@ dispatch and result assembly.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import numpy as np
@@ -24,6 +25,7 @@ from ._config import DEFAULT_CONFIG, ScanConfig
 from .models import pvalues as pv_mod
 from .models.pvalues import lrt_pvalues
 from .ops.hadamard import get_L_values as _get_L_values_jax
+from .utils import trace
 from .utils.maf import compute_maf
 
 
@@ -39,6 +41,20 @@ def _pad_batch(G, batch):
     if rem:
         G = np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
     return G, n_snps
+
+
+def _pipelined(starts, launch, window: int = 4):
+    """Dispatch ``launch(start)`` for every start, keeping up to ``window``
+    device computations in flight before blocking on ``jax.device_get`` —
+    h2d transfers and host-side assembly overlap device compute."""
+    pending, outs = [], []
+    for s in starts:
+        pending.append(launch(s))
+        if len(pending) >= window:
+            outs.append(jax.device_get(pending.pop(0)))
+    while pending:
+        outs.append(jax.device_get(pending.pop(0)))
+    return outs
 
 
 def _batch_starts(total, batch, progress, desc):
@@ -155,31 +171,55 @@ class CellRegMap:
 
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid, cfg.n_golden_iters)
+        timers = trace.PhaseTimers() if cfg.trace else None
+        # Pipelined dispatch: XLA execution is async, so enqueue a window of
+        # batches ahead before blocking on device_get — host work (h2d of
+        # the next batch, result assembly, the Davies tail pass) overlaps
+        # device compute instead of serializing with it.
+        window = 4
+        pending: list = []
         outs = []
+
+        def _drain(k):
+            while len(pending) > k:
+                with trace.trace_scope("interaction/device_get", timers) \
+                        if timers else contextlib.nullcontext():
+                    outs.append(jax.device_get(pending.pop(0)))
+
         for start in _batch_starts(Gp.shape[1], batch, cfg.progress,
                                    "scan_interaction"):
-            gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
-            gsb = jnp.asarray(Gsp[:, start : start + batch], self._dtype)
-            out = engine.interaction_kernel(
-                ctx, gb, gsb, self._n, delta_cfg=delta_cfg,
-                # exact (davies) mode gets its eigenvalues on host from
-                # Wmat; skip the costly batched device eigh + tails
-                device_pvalues=(cfg.pvalue_method != "davies"),
-            )
-            outs.append(jax.device_get(out))
+            with trace.trace_scope("interaction/dispatch", timers) \
+                    if timers else contextlib.nullcontext():
+                gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
+                gsb = jnp.asarray(Gsp[:, start : start + batch], self._dtype)
+                pending.append(engine.interaction_kernel(
+                    ctx, gb, gsb, self._n, delta_cfg=delta_cfg,
+                    # exact (davies) mode gets its eigenvalues on host from
+                    # Wmat; skip the costly batched device eigh + tails
+                    device_pvalues=(cfg.pvalue_method != "davies"),
+                ))
+            _drain(window - 1)
+        _drain(0)
         res = {k: np.concatenate([o[k] for o in outs])[:n_snps]
                for k in outs[0]}
 
-        pvalues, lambdas = self._pvalue_ladder(
-            res["Q"], res["lambdas"], res["pv_liu"], res["pv_saddlepoint"],
-            Wmat=res.get("Wmat"),
-        )
+        with trace.trace_scope("interaction/pvalue_ladder", timers) \
+                if timers else contextlib.nullcontext():
+            pvalues, lambdas = self._pvalue_ladder(
+                res["Q"], res["lambdas"], res["pv_liu"],
+                res["pv_saddlepoint"], Wmat=res.get("Wmat"),
+            )
         info = {k: np.asarray(res[k], float)
                 for k in ("rho1", "e2", "g2", "eps2")}
         info["Q"] = res["Q"]
         info["lambdas"] = lambdas
         info["pv_liu"] = res["pv_liu"]
         info["pv_saddlepoint"] = res["pv_saddlepoint"]
+        if timers is not None:
+            info["timers"] = timers.summary()
+            trace.log_event("scan_interaction", n_snps=n_snps, batch=batch,
+                            **{f"s_{k.rsplit('/', 1)[-1]}": round(v, 4)
+                               for k, v in timers.summary().items()})
         return np.asarray(pvalues, float), info
 
     def _auto_batch_cap(self) -> int:
@@ -263,14 +303,17 @@ class CellRegMap:
         # O(batch * K * R) intermediates stay within HBM
         batch = min(cfg.snp_batch, 128, max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
-        alt = []
-        for start in _batch_starts(Gp.shape[1], batch, cfg.progress,
-                                   "scan_association"):
+        def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
-            lml, _ = engine.association_refit_kernel(
+            return engine.association_refit_kernel(
                 self._ctx, gb, k, self._n, delta_cfg=delta_cfg
-            )
-            alt.append(np.asarray(lml))
+            )[0]
+
+        alt = _pipelined(
+            _batch_starts(Gp.shape[1], batch, cfg.progress,
+                          "scan_association"),
+            _launch,
+        )
         alt_lmls = np.concatenate(alt)[:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
@@ -288,11 +331,12 @@ class CellRegMap:
         cfg = self._cfg
         batch = min(cfg.snp_batch, max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
-        alt = []
-        for start in range(0, Gp.shape[1], batch):
+        def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
-            res = engine.fast_scan_kernel(self._ctx, gb, k, delta, self._n)
-            alt.append(np.asarray(res.lml))
+            return engine.fast_scan_kernel(self._ctx, gb, k, delta,
+                                           self._n).lml
+
+        alt = _pipelined(range(0, Gp.shape[1], batch), _launch)
         alt_lmls = np.concatenate(alt)[:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
@@ -325,17 +369,17 @@ class CellRegMap:
         Gp, n_snps = _pad_batch(G, batch)
         normp = np.concatenate([norm, np.repeat(norm[:1],
                                                 Gp.shape[1] - len(norm))])
-        bg, alphas = [], []
-        for start in range(0, Gp.shape[1], batch):
+        def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
             nb = jnp.asarray(normp[start : start + batch], self._dtype)
             beta_g, alpha, _ = engine.predict_interaction_kernel(
                 bctx, gb, nb, self._n, delta_cfg=delta_cfg
             )
-            bg.append(np.asarray(beta_g))
-            alphas.append(np.asarray(alpha))
-        beta_g = np.concatenate(bg)[:n_snps]
-        alpha = np.concatenate(alphas, axis=1)[:, :n_snps]       # (C, S)
+            return beta_g, alpha
+
+        outs = _pipelined(range(0, Gp.shape[1], batch), _launch)
+        beta_g = np.concatenate([o[0] for o in outs])[:n_snps]
+        alpha = np.concatenate([o[1] for o in outs], axis=1)[:, :n_snps]
         beta_gxe = self._E0 @ alpha                              # (n, S)
         return beta_g, beta_gxe
 

@@ -381,43 +381,107 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # Working set per iteration is only (S, nrho, R) (no K2 axis, no logs);
     # quadratic convergence from the zoomed bracket reaches machine
     # resolution in a few iterations; bisection fallback keeps it safe.
-    ZWZW = ctx.ZW.T @ ctx.ZW                            # (p, p)
-    ZWZg = (ctx.ZW.T @ ZG).T                            # (S, p)
-    Zgg = jnp.sum(ZG * ZG, axis=0)                      # (S,)
-    Sb_n = gg.shape[0]
-    XX_all = jnp.zeros((Sb_n, p1, p1), ctx.y.dtype)
-    XX_all = XX_all.at[:, :p, :p].set(
-        jnp.broadcast_to(ctx.WW, (Sb_n, p, p)))
-    XX_all = XX_all.at[:, :p, p].set(Wg.T)
-    XX_all = XX_all.at[:, p, :p].set(Wg.T)
-    XX_all = XX_all.at[:, p, p].set(gg)
-    XzG_all = jnp.zeros((Sb_n, p1, p1), ctx.y.dtype)
-    XzG_all = XzG_all.at[:, :p, :p].set(
-        jnp.broadcast_to(ZWZW, (Sb_n, p, p)))
-    XzG_all = XzG_all.at[:, :p, p].set(ZWZg)
-    XzG_all = XzG_all.at[:, p, :p].set(ZWZg)
-    XzG_all = XzG_all.at[:, p, p].set(Zgg)
-    Cxx_all = XX_all - XzG_all                          # (S, p1, p1)
-    cxy_all = jnp.concatenate(
-        [jnp.broadcast_to(CWy, (Sb_n, p)), Cgy[:, None]], axis=-1
-    )                                                   # (S, p1)
+    # The derivative evaluation is in COMPONENT form (the math of
+    # models/lmm.reml_delta_derivatives, validated against it in
+    # tests/test_lmm.py): any (.., R, p1) or (.., p1, p1) trailing axes
+    # would be tile-padded 64x on TPU (see the grid stage); with component
+    # arrays every op is elementwise/reduction over the well-tiled R axis.
+    from .ops.linalg import (sym_components_full, sym_components_matvec,
+                             unrolled_chol_factor, unrolled_chol_solve)
 
-    def one_rho_deriv(delta_so, Wt, gt, yt, S_rho, Cxx_s, cxy_s):
-        Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
-        data = lmm_mod.EigData(S=S_rho, Xt=Xt, yt=yt, Cxx=Cxx_s,
-                               cxy=cxy_s, cyy=Cyy)
-        return lmm_mod.reml_delta_derivatives(delta_so, data, n)
+    e_r = 1.0 - ctx.S                                   # (nrho, R)
+    e2_r = e_r * e_r
+    WWt_c = [[Wt_all[:, :, i] * Wt_all[:, :, j] for j in range(i + 1)]
+             for i in range(p)]                         # (nrho, R) each
+    Wy_c = [Wy_t[:, :, j] for j in range(p)]            # (nrho, R)
+    GW_c = [Gt_all * Wt_all[:, :, j][:, :, None]
+            for j in range(p)]                          # (nrho, R, S)
+    CWg_sT = CWg.T                                      # (S, p)
 
-    deriv_rho = jax.vmap(one_rho_deriv,
-                         in_axes=(0, 0, 0, 0, 0, None, None))
-    deriv_all = jax.vmap(deriv_rho,
-                         in_axes=(0, None, 2, None, None, 0, 0))
+    def _reduce_o(w, t):
+        """sum_r w[s,o,r] t[o,r] -> (S, nrho)."""
+        return jnp.einsum("sor,or->so", w, t)
+
+    def _reduce_s(w, t):
+        """sum_r w[s,o,r] t[o,r,s] -> (S, nrho)."""
+        return jnp.einsum("sor,ors->so", w, t)
+
+    def _ne_family(w, ic):
+        """Normal-equation components under eigen-weights ``w`` plus the
+        complement's scalar weight ``ic`` (a power of 1/delta)."""
+        A = [[_reduce_o(w, WWt_c[i][j]) + CWW[i, j] * ic
+              for j in range(i + 1)] for i in range(p)]
+        g_row = [_reduce_s(w, GW_c[j]) + CWg_sT[:, j][:, None] * ic
+                 for j in range(p)]
+        g_row.append(_reduce_s(w, G2_t) + Cgg[:, None] * ic)
+        A.append(g_row)
+        b = [_reduce_o(w, Wy_c[j]) + CWy[j] * ic for j in range(p)]
+        b.append(_reduce_s(w, GY_t) + Cgy[:, None] * ic)
+        q = _reduce_o(w, yy_t) + Cyy * ic
+        return A, b, q
+
+    def newton_derivs(delta):
+        """(dL/d delta, d2L/d delta2) of the REML objective for every
+        (variant, rho) problem at once; delta is (S, nrho)."""
+        d = (1 - delta)[..., None] * ctx.S[None] + delta[..., None]
+        w1 = 1.0 / d
+        we2 = e_r[None] * w1 * w1
+        we3 = e2_r[None] * w1 * w1 * w1
+        i1 = 1.0 / delta
+        i2 = i1 * i1
+        i3 = i2 * i1
+
+        A1, b1, q1 = _ne_family(w1, i1)
+        A2, b2, q2 = _ne_family(we2, i2)
+        A3, b3, q3 = _ne_family(we3, i3)
+
+        L1 = unrolled_chol_factor(A1)
+        beta = unrolled_chol_solve(L1, b1)
+        rss = q1 - sum(b1[j] * beta[j] for j in range(p1))
+        rss = jnp.maximum(rss, jnp.finfo(ctx.y.dtype).tiny)
+
+        A2b = sym_components_matvec(A2, beta)
+        A3b = sym_components_matvec(A3, beta)
+        beta_p = unrolled_chol_solve(
+            L1, [A2b[j] - b2[j] for j in range(p1)])
+        A2bp = sym_components_matvec(A2, beta_p)
+        rss_p = -q2 + 2 * sum(b2[j] * beta[j] for j in range(p1)) \
+            - sum(beta[j] * A2b[j] for j in range(p1))
+        rss_pp = (2 * q3
+                  - 4 * sum(b3[j] * beta[j] for j in range(p1))
+                  + 2 * sum(b2[j] * beta_p[j] for j in range(p1))
+                  - 2 * sum(beta[j] * A2bp[j] for j in range(p1))
+                  + 2 * sum(beta[j] * A3b[j] for j in range(p1)))
+
+        ld_d_p = _reduce_o(w1, e_r) + (n - R) * i1
+        ld_d_pp = -_reduce_o(w1 * w1, e2_r) - (n - R) * i2
+
+        # trace terms via explicit A1^{-1} columns (p1 unit solves)
+        ones = jnp.ones_like(q1)
+        zeros = jnp.zeros_like(q1)
+        A1inv = [unrolled_chol_solve(
+            L1, [ones if i == kc else zeros for i in range(p1)])
+            for kc in range(p1)]        # A1inv[kc][i] = (A1^{-1})_{i,kc}
+        A2f = sym_components_full(A2)
+        A3f = sym_components_full(A3)
+        T2 = [[sum(A1inv[k][i] * A2f[k][j] for k in range(p1))
+               for j in range(p1)] for i in range(p1)]
+        tr_T2 = sum(T2[i][i] for i in range(p1))
+        tr_T3 = sum(A1inv[k][i] * A3f[k][i]
+                    for i in range(p1) for k in range(p1))
+        tr_T2sq = sum(T2[i][j] * T2[j][i]
+                      for i in range(p1) for j in range(p1))
+
+        u = rss_p / rss
+        L_p = -0.5 * (nu * u + ld_d_p - tr_T2)
+        L_pp = -0.5 * (nu * (rss_pp / rss - u * u) + ld_d_pp
+                       + 2 * tr_T3 - tr_T2sq)
+        return L_p, L_pp
 
     def newton_body(_, st):
         x, lo_b, hi_b = st                              # (S, nrho) logits
         delta = jax.nn.sigmoid(x)
-        Lp, Lpp = deriv_all(delta, Wt_all, Gt_all, yt_all, ctx.S,
-                            Cxx_all, cxy_all)
+        Lp, Lpp = newton_derivs(delta)
         g_sig = delta * (1 - delta)
         Lx_p = Lp * g_sig
         Lx_pp = Lpp * g_sig * g_sig + Lp * g_sig * (1 - 2 * delta)

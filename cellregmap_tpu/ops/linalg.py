@@ -82,18 +82,19 @@ def sym_pseudo_logdet(A: jax.Array, rcond: float = 1e-12) -> jax.Array:
                          axis=-1)
 
 
-def unrolled_chol_solve_logdet(A_rows, b, rcond: float = 1e-12):
-    """Cholesky solve + logdet on component arrays (tiny static dimension).
+def unrolled_chol_factor(A_rows, rcond: float = 1e-12):
+    """Cholesky factor on component arrays (tiny static dimension).
 
-    ``A_rows[i][j]`` (j <= i) and ``b[i]`` are broadcast-compatible arrays
-    holding the (i, j) entries of a batch of small SPD systems.  The
-    factorization is unrolled over the static size, so every op is
-    elementwise on large arrays — crucial on TPU, where a trailing
-    (p, p) = (2, 2) axis pair is tile-padded to (2, 128), a 64x memory
-    blowup that OOMs batched-normal-equation tensors.
+    ``A_rows[i][j]`` (j <= i) are broadcast-compatible arrays holding the
+    (i, j) entries of a batch of small SPD systems.  The factorization is
+    unrolled over the static size, so every op is elementwise on large
+    arrays — crucial on TPU, where a trailing (p, p) = (2, 2) axis pair is
+    tile-padded to (2, 128), a 64x memory blowup that OOMs
+    batched-normal-equation tensors.
 
-    Returns (x list, logdet array).  A ridge of rcond * max(diag) keeps
-    rank-deficient systems solvable (collinear fixed effects).
+    A ridge of rcond * max(diag) keeps rank-deficient systems solvable
+    (collinear fixed effects).  Returns the lower-triangular component
+    factor L (list-of-lists).
     """
     m = len(A_rows)
     diag_max = A_rows[0][0]
@@ -113,7 +114,12 @@ def unrolled_chol_solve_logdet(A_rows, b, rcond: float = 1e-12):
                 L[i][i] = jnp.sqrt(s)
             else:
                 L[i][j] = s / L[j][j]
+    return L
 
+
+def unrolled_chol_solve(L, b):
+    """Solve with a component factor from :func:`unrolled_chol_factor`."""
+    m = len(L)
     # forward substitution L z = b
     z = [None] * m
     for i in range(m):
@@ -128,9 +134,32 @@ def unrolled_chol_solve_logdet(A_rows, b, rcond: float = 1e-12):
         for k in range(i + 1, m):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
+    return x
 
-    logdet = 2.0 * sum(jnp.log(L[i][i]) for i in range(m))
-    return x, logdet
+
+def unrolled_chol_logdet(L):
+    return 2.0 * sum(jnp.log(L[i][i]) for i in range(len(L)))
+
+
+def unrolled_chol_solve_logdet(A_rows, b, rcond: float = 1e-12):
+    """(solve, logdet) of batched small SPD systems in component form."""
+    L = unrolled_chol_factor(A_rows, rcond)
+    return unrolled_chol_solve(L, b), unrolled_chol_logdet(L)
+
+
+def sym_components_full(A_rows):
+    """Expand lower-triangular component rows to full symmetric access:
+    full[i][j] = A_rows[max(i,j)][min(i,j)]."""
+    m = len(A_rows)
+    return [[A_rows[max(i, j)][min(i, j)] for j in range(m)]
+            for i in range(m)]
+
+
+def sym_components_matvec(A_rows, x):
+    """y = A x on symmetric lower components; x, y are component lists."""
+    full = sym_components_full(A_rows)
+    return [sum(full[i][k] * x[k] for k in range(len(x)))
+            for i in range(len(A_rows))]
 
 
 def safe_eigh(A: jax.Array):
