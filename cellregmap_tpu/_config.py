@@ -24,10 +24,15 @@ class ScanConfig:
     delta_logit_lo / delta_logit_hi / n_delta_grid:
         Coarse grid over logit(delta) for the profiled 1-D variance-ratio
         objective (delta = v1/(v0+v1)); replaces glimix-core's Brent search.
+        The interaction kernel only needs basin-level localization from the
+        grid (safeguarded Newton converges from the bracket), so this can
+        be small; the association/betas kernels refine by golden section
+        and want it finer.
     n_golden_iters:
-        Fixed-iteration golden-section refinement steps after the grid argmax.
-        60 iterations shrink the bracket by ~3e-13, i.e. to machine precision
-        in logit space.
+        Fixed-iteration golden-section refinement steps after the grid
+        argmax (association/betas kernels; the interaction kernel uses
+        analytic-derivative Newton instead).  60 iterations shrink the
+        bracket by ~3e-13, i.e. to machine precision in logit space.
     snp_batch:
         Number of variants processed per compiled device step. Static shape;
         the driver pads the final batch.
@@ -55,6 +60,9 @@ class ScanConfig:
     delta_logit_lo: float = -18.0
     delta_logit_hi: float = 18.0
     n_delta_grid: int = 256
+    # interaction-scan grid: basin localization only (safeguarded Newton
+    # converges from the bracket; K=64 vs K=256 agree to 1e-14 in delta)
+    n_delta_grid_interaction: int = 64
     n_golden_iters: int = 60
     snp_batch: int = 256
     pvalue_method: str = "davies"
@@ -63,6 +71,11 @@ class ScanConfig:
     davies_lim: int = 20_000_000
     lambda_filter_ratio: float = 1e5
     dtype: str = "float64"
+    # Hybrid precision: localize the REML optimum (coarse grid + first
+    # Newton iterations) in f32 — TPU f64 is software-emulated and ~4-6x
+    # slower — then converge with f64 Newton at the best rho and keep all
+    # score/statistics math f64.  Disable for a full-f64 audit run.
+    hybrid_localization: bool = True
     # p-value clipping used by lrt_pvalues (reference clips to
     # [epsilon.super_tiny, 1 - epsilon.tiny], _cellregmap.py:467-469).
     pv_clip_lo: float = 1e-300

@@ -170,7 +170,7 @@ class CellRegMap:
         Gsp, _ = _pad_batch(Gs, batch)
 
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
-                     cfg.n_delta_grid, cfg.n_golden_iters)
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
         timers = trace.PhaseTimers() if cfg.trace else None
         # Pipelined dispatch: XLA execution is async, so enqueue a window of
         # batches ahead before blocking on device_get — host work (h2d of
@@ -197,6 +197,7 @@ class CellRegMap:
                     # exact (davies) mode gets its eigenvalues on host from
                     # Wmat; skip the costly batched device eigh + tails
                     device_pvalues=(cfg.pvalue_method != "davies"),
+                    localize_f32=cfg.hybrid_localization,
                 ))
             _drain(window - 1)
         _drain(0)

@@ -167,7 +167,9 @@ def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
 def interaction_batch(ctx: NullContext, G, G_score, n: int,
                       delta_cfg=(-18.0, 18.0, 64, 60), saddle_iters=40,
                       device_pvalues: bool = True,
-                      profile_stage: str = "full"):
+                      profile_stage: str = "full",
+                      newton_f32: int = 6, newton_f64: int = 3,
+                      localize_f32: bool = True):
     """Score-test interaction scan for one variant batch (pure; see
     :func:`interaction_kernel` for the jitted entry).
 
@@ -217,71 +219,117 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     Cgy = gy - ZG.T @ ctx.Zy                           # (S,)
     Cgg = gg - jnp.sum(ZG * ZG, axis=0)                # (S,)
 
-    # --- coarse delta grid as snp-shared batched GEMMs ---
+    # --- normal-equation component tensors, per precision -----------------
+    # Hybrid precision: TPU f64 is software-emulated (elementwise ~6x
+    # slower than f32, matmul ~4x), but only the *final* refinement and the
+    # score statistic need f64.  The pipeline is:
+    #   1. coarse delta grid + safeguarded Newton in f32  (localization)
+    #   2. one f64 lml evaluation at the f32 optimum        (rho argmax;
+    #      at an optimum the lml error is O(delta_err^2) ~ 1e-8, so the
+    #      argmax over rho matches the full-f64 answer)
+    #   3. f64 Newton iterations at the best rho only       (11x less f64)
+    #   4. f64 score pass (unchanged)
+    # Components (entries of the normal equations as separate arrays) keep
+    # every op elementwise over the well-tiled R axis: trailing (R, p1) or
+    # (p1, p1) axes would be tile-padded up to 64x on TPU.
+    R = ctx.S.shape[1]
+    p1 = p + 1
+    nu = n - p1
+    f64 = ctx.y.dtype
+    fast = jnp.float32 if (f64 == jnp.float64 and localize_f32) else f64
+
+    from .ops.linalg import (unrolled_chol_factor, unrolled_chol_logdet,
+                             unrolled_chol_solve, unrolled_chol_solve_logdet,
+                             sym_components_full, sym_components_matvec,
+                             sym_pseudo_logdet)
+
+    yy_t = yt_all * yt_all                              # (nrho, R)
+    Wy_c = [Wt_all[:, :, j] * yt_all for j in range(p)]
+    WWt_c = [[Wt_all[:, :, i] * Wt_all[:, :, j] for j in range(i + 1)]
+             for i in range(p)]
+    GY_t = Gt_all * yt_all[:, :, None]                  # (nrho, R, S)
+    G2_t = Gt_all * Gt_all
+    GW_c = [Gt_all * Wt_all[:, :, j][:, :, None] for j in range(p)]
+    CWg_sT = CWg.T                                      # (S, p)
+
+    def _tset(dt):
+        c = lambda a: a.astype(dt)
+        return dict(
+            S=c(ctx.S), e=c(1.0 - ctx.S), e2=c((1.0 - ctx.S) ** 2),
+            yy=c(yy_t), Wy=[c(a) for a in Wy_c],
+            WW=[[c(a) for a in row] for row in WWt_c],
+            GY=c(GY_t), G2=c(G2_t), GW=[c(a) for a in GW_c],
+            CWW=c(CWW), CWy=c(CWy), Cyy=c(Cyy),
+            CWg=c(CWg_sT), Cgy=c(Cgy), Cgg=c(Cgg),
+        )
+
+    TS64 = _tset(f64)
+    TS32 = _tset(fast) if fast != f64 else TS64
+
+    def _ne_family(w, ic, TS, rs, ro):
+        """Normal-equation components under eigen-weights ``w`` plus the
+        complement's scalar weight ``ic`` (a power of 1/delta).
+
+        ``ro(w, t)``/``rs(w, t)`` reduce the eigencomponent axis of
+        snp-shared / per-snp tensors; the two call sites are the
+        (variant, rho)-batched stage and the best-rho-gathered stage.
+        """
+        A = [[ro(w, TS["WW"][i][j]) + TS["CWW"][i, j] * ic
+              for j in range(i + 1)] for i in range(p)]
+        g_row = [rs(w, TS["GW"][j]) + _colvec(TS["CWg"][:, j], ic) * ic
+                 for j in range(p)]
+        g_row.append(rs(w, TS["G2"]) + _colvec(TS["Cgg"], ic) * ic)
+        A.append(g_row)
+        b = [ro(w, TS["Wy"][j]) + TS["CWy"][j] * ic for j in range(p)]
+        b.append(rs(w, TS["GY"]) + _colvec(TS["Cgy"], ic) * ic)
+        q = ro(w, TS["yy"]) + TS["Cyy"] * ic
+        return A, b, q
+
+    def _colvec(v, like):
+        """Broadcast a per-variant vector (S,) against ``like``:
+        (S, nrho)-shaped reductions need (S, 1), per-variant (S,) need (S,)."""
+        return v[:, None] if like.ndim == 2 else v
+
+    # --- stage 1a: coarse delta grid as snp-shared batched GEMMs (f32) ----
     # The GLS weights w = 1/((1-delta) S_rho + delta) depend only on
     # (rho, delta): one small (nrho, K, R) weight tensor serves every
     # variant; vmapping the grid per variant instead would materialize
     # O(S * nrho * K * R) intermediates (tens of GB at production sizes).
-    R = ctx.S.shape[1]
-    deltas = jax.nn.sigmoid(jnp.linspace(lo, hi, n_grid)).astype(ctx.y.dtype)
-    d_grid = (1 - deltas)[None, :, None] * ctx.S[:, None, :] \
+    TS = TS32
+    deltas = jax.nn.sigmoid(jnp.linspace(lo, hi, n_grid)).astype(fast)
+    d_grid = (1 - deltas)[None, :, None] * TS["S"][:, None, :] \
         + deltas[None, :, None]                         # (nrho, K, R)
     Wd = 1.0 / d_grid
     logdet_grid = jnp.sum(jnp.log(d_grid), axis=-1) \
         + (n - R) * jnp.log(deltas)[None, :]            # (nrho, K)
-
-    Wy_t = Wt_all * yt_all[:, :, None]                  # (nrho, R, p)
-    red_yy = jnp.einsum("okr,or->ok", Wd, yt_all * yt_all)      # (nrho, K)
-    red_Wy = jnp.einsum("okr,orp->okp", Wd, Wy_t)               # (nrho, K, p)
-    red_WW = jnp.einsum("okr,orp,orq->okpq", Wd, Wt_all, Wt_all)
-    red_gy = jnp.einsum("okr,ors->oks", Wd, Gt_all * yt_all[:, :, None])
-    red_gW = jnp.einsum("okr,orp,ors->okps", Wd, Wt_all, Gt_all)
-    red_gg = jnp.einsum("okr,ors->oks", Wd, Gt_all * Gt_all)
-
     inv_d = 1.0 / deltas                                # (K,)
-    p1 = p + 1
-    # Assemble grid normal equations as COMPONENT arrays (entries of the
-    # (p1, p1) system as separate (.., K) arrays): on TPU a trailing (2, 2)
-    # axis pair is tile-padded to (2, 128) — a 64x memory blowup that OOMs
-    # the batched tensors; component-wise unrolled Cholesky keeps every op
-    # elementwise with perfect tiling.
-    from .ops.linalg import unrolled_chol_solve_logdet
 
-    # W-block entries are snp-shared (nrho, K); g-row entries are
-    # (S, nrho, K); broadcasting handles the mix.
-    A_rows = []
-    for i in range(p):
-        A_rows.append([
-            red_WW[None, :, :, i, j] + CWW[i, j] * inv_d[None, None, :]
-            for j in range(i + 1)
-        ])
-    g_row = [
-        red_gW.transpose(3, 0, 1, 2)[..., j]
-        + CWg.T[:, None, None, j] * inv_d[None, None, :]
-        for j in range(p)
-    ]
-    g_row.append(red_gg.transpose(2, 0, 1)
-                 + Cgg[:, None, None] * inv_d[None, None, :])
+    red_o = lambda t: jnp.einsum("okr,or->ok", Wd, t)[None]     # (1,nrho,K)
+    red_s = lambda t: jnp.einsum("okr,ors->oks", Wd, t).transpose(2, 0, 1)
+
+    A_rows = [[red_o(TS["WW"][i][j]) + TS["CWW"][i, j] * inv_d[None, None]
+               for j in range(i + 1)] for i in range(p)]
+    g_row = [red_s(TS["GW"][j])
+             + TS["CWg"][:, j][:, None, None] * inv_d[None, None]
+             for j in range(p)]
+    g_row.append(red_s(TS["G2"]) + TS["Cgg"][:, None, None] * inv_d[None, None])
     A_rows.append(g_row)
-    b_comp = [red_Wy[None, :, :, j] + CWy[j] * inv_d[None, None, :]
+    b_comp = [red_o(TS["Wy"][j]) + TS["CWy"][j] * inv_d[None, None]
               for j in range(p)]
-    b_comp.append(red_gy.transpose(2, 0, 1)
-                  + Cgy[:, None, None] * inv_d[None, None, :])
-    yy_grid = red_yy[None] + Cyy * inv_d[None, None, :]         # (1, nrho, K)
+    b_comp.append(red_s(TS["GY"]) + TS["Cgy"][:, None, None] * inv_d[None, None])
+    yy_grid = red_o(TS["yy"]) + TS["Cyy"] * inv_d[None, None]   # (1,nrho,K)
 
     beta_c, logdet_a_grid = unrolled_chol_solve_logdet(A_rows, b_comp)
     rss_grid = yy_grid
     for j in range(p1):
         rss_grid = rss_grid - b_comp[j] * beta_c[j]
-    rss_grid = jnp.maximum(rss_grid, jnp.finfo(ctx.y.dtype).tiny)
-    nu = n - p1
+    rss_grid = jnp.maximum(rss_grid, jnp.finfo(fast).tiny)
 
-    # logdet(X^T X) is delta-independent: compute once per variant.
+    # logdet(X^T X) is delta-independent: compute once per variant (f64;
+    # reused by the exact stages).
     def _ld_xx(wg_s, gg_s):
         XX = jnp.block([[ctx.WW, wg_s[:, None]],
                         [wg_s[None, :], gg_s[None, None]]])
-        from .ops.linalg import sym_pseudo_logdet
-
         return sym_pseudo_logdet(XX)
 
     ld_xx = jax.vmap(_ld_xx, in_axes=(1, 0))(Wg, gg)    # (S,)
@@ -290,7 +338,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         nu * jnp.log(2 * jnp.pi * rss_grid / nu)
         + logdet_grid[None]
         + logdet_a_grid
-        - ld_xx[:, None, None]
+        - ld_xx.astype(fast)[:, None, None]
         + nu
     )                                                   # (S, nrho, K)
     k_grid = jnp.argmax(lml_grid, axis=-1)              # (S, nrho)
@@ -301,144 +349,30 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     if profile_stage == "grid":  # debug: timing bisection
         return {"br_lo": br_lo, "br_hi": br_hi, "T": T, "Tt": Tt_all}
 
-    # --- batched zoom refinement ---
-    # Per-problem golden sections (60 sequential data-dependent iterations)
-    # were ~80% of kernel time on TPU (each sequential step pays a latency
-    # floor).  Instead: a few zoom rounds, each evaluating a 16-point
-    # per-problem delta grid for ALL (variant, rho) problems at once as
-    # batched GEMMs, finished by a parabolic-vertex step that is free (it
-    # reuses the last round's values).  3 rounds shrink the K=256 grid cell
-    # to ~6e-5 logit; the parabola resolves the optimum to ~1e-9.
-    K2 = 16
-    n_rounds = 0  # Newton from the fine shared grid; zoom retained as an
-    # optional escape hatch (set >0 if a pathological objective needs it)
-    GY_t = Gt_all * yt_all[:, :, None]                  # (nrho, R, S)
-    G2_t = Gt_all * Gt_all                              # (nrho, R, S)
-    GW_t = Gt_all[:, :, None, :] * Wt_all[..., None]    # (nrho, R, p, S)
-    yy_t = yt_all * yt_all                              # (nrho, R)
-    CWg_s = CWg.T                                       # (S, p)
-
-    def zoom_lml(logits):
-        """lml at per-problem logits (S, nrho, K2) via batched GEMMs."""
-        deltas = jax.nn.sigmoid(logits)
-        d = (1 - deltas)[..., None] * ctx.S[None, :, None, :] \
-            + deltas[..., None]                         # (S, nrho, K2, R)
-        w = 1.0 / d
-        logdet_d = jnp.sum(jnp.log(d), axis=-1) \
-            + (n - R) * jnp.log(deltas)                 # (S, nrho, K2)
-        r_yy = jnp.einsum("sokr,or->sok", w, yy_t)
-        r_Wy = jnp.einsum("sokr,orp->sokp", w, Wy_t)
-        r_WW = jnp.einsum("sokr,orp,orq->sokpq", w, Wt_all, Wt_all)
-        r_gy = jnp.einsum("sokr,ors->sok", w, GY_t)
-        r_gW = jnp.einsum("sokr,orps->sokp", w, GW_t)
-        r_gg = jnp.einsum("sokr,ors->sok", w, G2_t)
-        idl = 1.0 / deltas                              # (S, nrho, K2)
-
-        # component-wise assembly + unrolled Cholesky (see the grid stage:
-        # trailing (p1, p1) tensors are tile-padded 64x on TPU)
-        from .ops.linalg import unrolled_chol_solve_logdet
-
-        A_rows = []
-        for i in range(p):
-            A_rows.append([
-                r_WW[..., i, j] + CWW[i, j] * idl for j in range(i + 1)
-            ])
-        g_row = [r_gW[..., j] + CWg_s[:, None, None, j] * idl
-                 for j in range(p)]
-        g_row.append(r_gg + Cgg[:, None, None] * idl)
-        A_rows.append(g_row)
-        b_c = [r_Wy[..., j] + CWy[j] * idl for j in range(p)]
-        b_c.append(r_gy + Cgy[:, None, None] * idl)
-        yyv = r_yy + Cyy * idl
-
-        beta_c, logdet_a = unrolled_chol_solve_logdet(A_rows, b_c)
-        rss = yyv
-        for j in range(p1):
-            rss = rss - b_c[j] * beta_c[j]
-        rss = jnp.maximum(rss, jnp.finfo(yyv.dtype).tiny)
-        return -0.5 * (
-            nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d + logdet_a
-            - ld_xx[:, None, None] + nu
-        )
-
-    def zoom_round(carry):
-        blo, bhi = carry                                # (S, nrho)
-        t = jnp.linspace(0.0, 1.0, K2, dtype=blo.dtype)
-        logits = blo[..., None] + (bhi - blo)[..., None] * t
-        lml = zoom_lml(logits)
-        kz = jnp.argmax(lml, axis=-1)                   # (S, nrho)
-        center = jnp.take_along_axis(logits, kz[..., None], axis=-1)[..., 0]
-        cell = (bhi - blo) / (K2 - 1)
-        return ((jnp.maximum(center - cell, blo),
-                 jnp.minimum(center + cell, bhi)), (logits, lml, kz))
-
-    carry = (br_lo, br_hi)
-    for _ in range(n_rounds):
-        carry, (z_logits, z_lml, z_k) = zoom_round(carry)
-    br_lo, br_hi = carry
-
-    # --- safeguarded Newton polish on the analytic REML derivatives ---
-    # Working set per iteration is only (S, nrho, R) (no K2 axis, no logs);
-    # quadratic convergence from the zoomed bracket reaches machine
-    # resolution in a few iterations; bisection fallback keeps it safe.
-    # The derivative evaluation is in COMPONENT form (the math of
-    # models/lmm.reml_delta_derivatives, validated against it in
-    # tests/test_lmm.py): any (.., R, p1) or (.., p1, p1) trailing axes
-    # would be tile-padded 64x on TPU (see the grid stage); with component
-    # arrays every op is elementwise/reduction over the well-tiled R axis.
-    from .ops.linalg import (sym_components_full, sym_components_matvec,
-                             unrolled_chol_factor, unrolled_chol_solve)
-
-    e_r = 1.0 - ctx.S                                   # (nrho, R)
-    e2_r = e_r * e_r
-    WWt_c = [[Wt_all[:, :, i] * Wt_all[:, :, j] for j in range(i + 1)]
-             for i in range(p)]                         # (nrho, R) each
-    Wy_c = [Wy_t[:, :, j] for j in range(p)]            # (nrho, R)
-    GW_c = [Gt_all * Wt_all[:, :, j][:, :, None]
-            for j in range(p)]                          # (nrho, R, S)
-    CWg_sT = CWg.T                                      # (S, p)
-
-    def _reduce_o(w, t):
-        """sum_r w[s,o,r] t[o,r] -> (S, nrho)."""
-        return jnp.einsum("sor,or->so", w, t)
-
-    def _reduce_s(w, t):
-        """sum_r w[s,o,r] t[o,r,s] -> (S, nrho)."""
-        return jnp.einsum("sor,ors->so", w, t)
-
-    def _ne_family(w, ic):
-        """Normal-equation components under eigen-weights ``w`` plus the
-        complement's scalar weight ``ic`` (a power of 1/delta)."""
-        A = [[_reduce_o(w, WWt_c[i][j]) + CWW[i, j] * ic
-              for j in range(i + 1)] for i in range(p)]
-        g_row = [_reduce_s(w, GW_c[j]) + CWg_sT[:, j][:, None] * ic
-                 for j in range(p)]
-        g_row.append(_reduce_s(w, G2_t) + Cgg[:, None] * ic)
-        A.append(g_row)
-        b = [_reduce_o(w, Wy_c[j]) + CWy[j] * ic for j in range(p)]
-        b.append(_reduce_s(w, GY_t) + Cgy[:, None] * ic)
-        q = _reduce_o(w, yy_t) + Cyy * ic
-        return A, b, q
-
-    def newton_derivs(delta):
-        """(dL/d delta, d2L/d delta2) of the REML objective for every
-        (variant, rho) problem at once; delta is (S, nrho)."""
-        d = (1 - delta)[..., None] * ctx.S[None] + delta[..., None]
+    # --- Newton machinery (precision- and stage-generic) -------------------
+    def _derivs(delta, TS, rs, ro):
+        """(dL/d delta, d2L/d delta2) of the restricted profiled objective
+        (the math of models/lmm.reml_delta_derivatives, in component form;
+        validated against it in tests/test_lmm.py)."""
+        dt = TS["S"].dtype
+        delta = delta.astype(dt)
+        dx = delta[..., None]
+        d = (1 - dx) * _bcast(TS["S"], delta) + dx
         w1 = 1.0 / d
-        we2 = e_r[None] * w1 * w1
-        we3 = e2_r[None] * w1 * w1 * w1
+        we2 = _bcast(TS["e"], delta) * w1 * w1
+        we3 = _bcast(TS["e2"], delta) * w1 * w1 * w1
         i1 = 1.0 / delta
         i2 = i1 * i1
         i3 = i2 * i1
 
-        A1, b1, q1 = _ne_family(w1, i1)
-        A2, b2, q2 = _ne_family(we2, i2)
-        A3, b3, q3 = _ne_family(we3, i3)
+        A1, b1, q1 = _ne_family(w1, i1, TS, rs, ro)
+        A2, b2, q2 = _ne_family(we2, i2, TS, rs, ro)
+        A3, b3, q3 = _ne_family(we3, i3, TS, rs, ro)
 
         L1 = unrolled_chol_factor(A1)
         beta = unrolled_chol_solve(L1, b1)
         rss = q1 - sum(b1[j] * beta[j] for j in range(p1))
-        rss = jnp.maximum(rss, jnp.finfo(ctx.y.dtype).tiny)
+        rss = jnp.maximum(rss, jnp.finfo(dt).tiny)
 
         A2b = sym_components_matvec(A2, beta)
         A3b = sym_components_matvec(A3, beta)
@@ -453,8 +387,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
                   - 2 * sum(beta[j] * A2bp[j] for j in range(p1))
                   + 2 * sum(beta[j] * A3b[j] for j in range(p1)))
 
-        ld_d_p = _reduce_o(w1, e_r) + (n - R) * i1
-        ld_d_pp = -_reduce_o(w1 * w1, e2_r) - (n - R) * i2
+        ld_d_p = ro(w1, TS["e"]) + (n - R) * i1
+        ld_d_pp = -ro(w1 * w1, TS["e2"]) - (n - R) * i2
 
         # trace terms via explicit A1^{-1} columns (p1 unit solves)
         ones = jnp.ones_like(q1)
@@ -478,10 +412,17 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
                        + 2 * tr_T3 - tr_T2sq)
         return L_p, L_pp
 
-    def newton_body(_, st):
-        x, lo_b, hi_b = st                              # (S, nrho) logits
+    def _bcast(t, delta):
+        """Align a shared (nrho, R) tensor with (S, nrho[, ...]) deltas; the
+        best-rho stage passes per-variant (S, R) tensors through as-is."""
+        return t[None] if (t.ndim == 2 and delta.ndim == 2) else t
+
+    def _newton_step(st, TS, rs, ro):
+        x, lo_b, hi_b = st                              # f64 logits
         delta = jax.nn.sigmoid(x)
-        Lp, Lpp = newton_derivs(delta)
+        Lp, Lpp = _derivs(delta, TS, rs, ro)
+        Lp = Lp.astype(f64)
+        Lpp = Lpp.astype(f64)
         g_sig = delta * (1 - delta)
         Lx_p = Lp * g_sig
         Lx_pp = Lpp * g_sig * g_sig + Lp * g_sig * (1 - 2 * delta)
@@ -496,43 +437,91 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         x_new = jnp.where(ok, x_newton, 0.5 * (lo2 + hi2))
         return x_new, lo2, hi2
 
-    x0 = 0.5 * (br_lo + br_hi)
-    x_fin, _, _ = jax.lax.fori_loop(0, 3, newton_body,
-                                    (x0, br_lo, br_hi))
-    delta_star = jax.nn.sigmoid(x_fin)                  # (S, nrho)
+    # --- stage 1b: f32 Newton over all (variant, rho) problems ------------
+    reduce_oo = lambda w, t: jnp.einsum("sor,or->so", w, t)
+    reduce_os = lambda w, t: jnp.einsum("sor,ors->so", w, t)
+
+    st = (0.5 * (br_lo + br_hi), br_lo, br_hi)
+    st = jax.lax.fori_loop(
+        0, newton_f32,
+        lambda _, s: _newton_step(s, TS32, reduce_os, reduce_oo), st)
+    x32, br32_lo, br32_hi = st
+    delta32 = jax.nn.sigmoid(x32)                       # (S, nrho)
 
     if profile_stage == "zoom":  # debug: timing bisection
-        return {"delta_star": delta_star, "T": T, "Tt": Tt_all,
-                "br_lo": br_lo, "br_hi": br_hi}
+        return {"delta_star": delta32, "T": T, "Tt": Tt_all,
+                "br_lo": br32_lo, "br_hi": br32_hi}
 
-    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s, dstar, ldxx):
-        # X = [W, g];  gt_k: (nrho, R) pre-rotated g.
+    # --- stage 2: one f64 lml evaluation at the f32 optimum ---------------
+    # (component form of models/lmm.lml_at_delta_eig, restricted)
+    d_star = (1 - delta32)[..., None] * ctx.S[None] + delta32[..., None]
+    A1s, b1s, q1s = _ne_family(1.0 / d_star, 1.0 / delta32, TS64,
+                               reduce_os, reduce_oo)
+    L1s = unrolled_chol_factor(A1s)
+    beta_s = unrolled_chol_solve(L1s, b1s)
+    rss_s = q1s - sum(b1s[j] * beta_s[j] for j in range(p1))
+    rss_s = jnp.maximum(rss_s, jnp.finfo(f64).tiny)
+    logdet_d_s = jnp.sum(jnp.log(d_star), axis=-1) \
+        + (n - R) * jnp.log(delta32)
+    lml_all = -0.5 * (
+        nu * jnp.log(2 * jnp.pi * rss_s / nu) + logdet_d_s
+        + unrolled_chol_logdet(L1s)
+        - ld_xx[:, None] + nu
+    )                                                   # (S, nrho)
+    k_best = jnp.argmax(lml_all, axis=-1)               # (S,)
+
+    # --- stage 3: f64 Newton at each variant's best rho only --------------
+    O_k = jax.nn.one_hot(k_best, ctx.S.shape[0], dtype=f64)     # (S, nrho)
+    gather_o = lambda t: jnp.einsum("so,or->sr", O_k, t)        # (S, R)
+    gather_s = lambda t: jnp.einsum("so,ors->sr", O_k, t)       # (S, R)
+    TS_k = dict(
+        S=gather_o(ctx.S), e=gather_o(1.0 - ctx.S),
+        e2=gather_o((1.0 - ctx.S) ** 2),
+        yy=gather_o(yy_t), Wy=[gather_o(a) for a in Wy_c],
+        WW=[[gather_o(a) for a in row] for row in WWt_c],
+        GY=gather_s(GY_t), G2=gather_s(G2_t),
+        GW=[gather_s(a) for a in GW_c],
+        CWW=CWW, CWy=CWy, Cyy=Cyy, CWg=CWg_sT, Cgy=Cgy, Cgg=Cgg,
+    )
+    reduce_ko = lambda w, t: jnp.einsum("sr,sr->s", w, t)
+
+    take_k = lambda a: jnp.take_along_axis(a, k_best[:, None],
+                                           axis=1)[:, 0]
+    # restart from the (trustworthy) f32 GRID bracket, not the f32-Newton
+    # shrunk one: near the optimum the f32 derivative signs are noise, and
+    # a noise-shrunk bracket can exclude the true optimum, clamping the
+    # f64 iterations ~1e-6 away from it
+    st_k = (take_k(x32), take_k(br_lo), take_k(br_hi))
+    st_k = jax.lax.fori_loop(
+        0, newton_f64,
+        lambda _, s: _newton_step(s, TS_k, reduce_ko, reduce_ko), st_k)
+    delta_k = jax.nn.sigmoid(st_k[0])                   # (S,)
+
+    # final f64 REML evaluation at (best rho, converged delta)
+    d_k = (1 - delta_k)[:, None] * TS_k["S"] + delta_k[:, None]  # (S, R)
+    A1k, b1k, q1k = _ne_family(1.0 / d_k, 1.0 / delta_k, TS_k,
+                               reduce_ko, reduce_ko)
+    L1k = unrolled_chol_factor(A1k)
+    beta_k = unrolled_chol_solve(L1k, b1k)
+    rss_k = q1k - sum(b1k[j] * beta_k[j] for j in range(p1))
+    rss_k = jnp.maximum(rss_k, jnp.finfo(f64).tiny)
+    lml_k = -0.5 * (
+        nu * jnp.log(2 * jnp.pi * rss_k / nu)
+        + jnp.sum(jnp.log(d_k), axis=-1) + (n - R) * jnp.log(delta_k)
+        + unrolled_chol_logdet(L1k)
+        - ld_xx + nu
+    )                                                   # (S,)
+    scale_k = rss_k / nu
+    v0_k = scale_k * (1 - delta_k)
+    v1_k = scale_k * delta_k
+
+    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s,
+                k, v0, v1, dstar_k, lml_k_s):
+        # X = [W, g];  gt_k: (nrho, R) pre-rotated g; k: best-rho index
+        # with v0/v1/delta from the converged f64 fit at that rho.
         XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
         Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
 
-        def eval_rho(Wt, gt, yt, S, d_opt):
-            Xt = jnp.concatenate([Wt, gt[:, None]], axis=1)
-            data = lmm_mod.EigData(
-                S=S, Xt=Xt, yt=yt,
-                Cxx=XX - Xt.T @ Xt,
-                cxy=Xy - Xt.T @ yt,
-                cyy=ctx.yy - yt @ yt,
-            )
-            lml, beta, scale, rss = lmm_mod.lml_at_delta_eig(
-                d_opt, data, n, True, ldxx
-            )
-            return lmm_mod.FitResult(
-                lml=lml, delta=d_opt, beta=beta, scale=scale,
-                v0=scale * (1 - d_opt), v1=scale * d_opt, rss=rss,
-            )
-
-        fits = jax.vmap(eval_rho, in_axes=(0, 0, 0, 0, 0))(
-            Wt_all, gt_k, yt_all, ctx.S, dstar
-        )
-        k = jnp.argmax(fits.lml)
-        take = lambda a: jnp.take(a, k, axis=0)
-        v0 = take(fits.v0)
-        v1 = take(fits.v1)
         Sb = jnp.take(ctx.S, k, axis=0)                              # (R,)
         rho1 = jnp.take(ctx.rho, k)
 
@@ -585,12 +574,14 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
             "eps2": v1,
             "v0": v0,
             "v1": v1,
-            "delta": take(fits.delta),
-            "lml": take(fits.lml),
+            "delta": dstar_k,
+            "lml": lml_k_s,
         }
 
-    out = jax.vmap(per_snp, in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0))(
-        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy, delta_star, ld_xx
+    out = jax.vmap(per_snp,
+                   in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0))(
+        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy,
+        k_best, v0_k, v1_k, delta_k, lml_k
     )
     if device_pvalues:
         out["pv_liu"] = pv_mod.liu_sf(out["Q"], out["lambdas"])[0]
@@ -606,7 +597,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
 interaction_kernel = functools.partial(
     jax.jit(interaction_batch,
             static_argnames=("n", "delta_cfg", "saddle_iters",
-                             "device_pvalues", "profile_stage"))
+                             "device_pvalues", "profile_stage",
+                             "newton_f32", "newton_f64", "localize_f32"))
 )
 
 

@@ -124,7 +124,7 @@ class ShardedScanner:
                                 axis=1)
 
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
-                     cfg.n_delta_grid, cfg.n_golden_iters)
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
 
         start_batch = 0
         acc: Dict[str, list] = {}
