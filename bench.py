@@ -64,12 +64,17 @@ def main():
     )
 
     # ---- baseline: reference-style serial CPU scan on a few SNPs ----
-    t0 = time.perf_counter()
-    pv_base, _ = oracle.scan_interaction_reference_style(
-        y, W, E, Ls=Ls, G=G[:, :baseline_snps]
-    )
-    t_base = time.perf_counter() - t0
-    baseline_tps = baseline_snps / t_base
+    # (BENCH_BASELINE_SNPS=0 skips it: at large n the serial oracle takes
+    # minutes per SNP, and the scale runs only need engine numbers)
+    if baseline_snps > 0:
+        t0 = time.perf_counter()
+        pv_base, _ = oracle.scan_interaction_reference_style(
+            y, W, E, Ls=Ls, G=G[:, :baseline_snps]
+        )
+        t_base = time.perf_counter() - t0
+        baseline_tps = baseline_snps / t_base
+    else:
+        pv_base, baseline_tps = None, None
 
     # ---- engine ----
     cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)
@@ -112,14 +117,19 @@ def main():
     t_davies = time.perf_counter() - t0
 
     # parity on the baseline subset
-    max_abs_diff = float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
+    max_abs_diff = (
+        float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
+        if pv_base is not None else None
+    )
 
     result = {
         "metric": "interaction_tests_per_sec",
         "value": round(engine_tps, 3),
         "unit": "tests/s",
-        "vs_baseline": round(engine_tps / baseline_tps, 2),
-        "baseline_tests_per_sec": round(baseline_tps, 4),
+        "vs_baseline": (round(engine_tps / baseline_tps, 2)
+                        if baseline_tps else None),
+        "baseline_tests_per_sec": (round(baseline_tps, 4)
+                                   if baseline_tps else None),
         "pvalue_max_abs_diff_vs_reference_style": max_abs_diff,
         "backend": backend,
         "config": {
