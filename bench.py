@@ -98,9 +98,10 @@ def main():
     from cellregmap_tpu import engine
     from cellregmap_tpu.models import pvalues as pv_mod
 
-    gb = jnp.asarray(G[:, :batch], crm._dtype)
+    eff_batch = min(batch, crm._auto_batch_cap(), n_snps)
+    gb = jnp.asarray(G[:, :eff_batch], crm._dtype)
     delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
-                 cfg.n_delta_grid, cfg.n_golden_iters)
+                 cfg.n_delta_grid_interaction, cfg.n_golden_iters)
     out = engine.interaction_kernel(crm._ctx, gb, gb, n_cells,
                                     delta_cfg=delta_cfg)
     jax.block_until_ready(out)
@@ -134,14 +135,14 @@ def main():
         "backend": backend,
         "config": {
             "n_cells": n_cells, "n_contexts": n_contexts,
-            "n_donors": n_donors, "n_snps": n_snps, "batch": batch,
+            "n_donors": n_donors, "n_snps": n_snps, "batch": eff_batch,
             "pvalue_method": pvalue_method,
         },
         "setup_s": round(t_setup, 2),
         "compile_s": round(t_compile, 2),
         "scan_s": round(t_scan, 2),
         "kernel_s_per_batch": round(t_kernel, 3),
-        "kernel_tests_per_sec": round(batch / t_kernel, 1),
+        "kernel_tests_per_sec": round(eff_batch / t_kernel, 1),
         "davies_s_per_batch": round(t_davies, 3),
     }
     print(json.dumps(result))

@@ -224,16 +224,19 @@ class CellRegMap:
         return np.asarray(pvalues, float), info
 
     def _auto_batch_cap(self) -> int:
-        """Variant-batch cap keeping refinement temps within HBM.
+        """Variant-batch cap keeping the kernel's temporaries within HBM.
 
-        The zoom/Newton stages materialize O(batch * n_rho * 16 * R)
-        float64 intermediates; budget ~2 GB for that family (several live
-        buffers at once on a 16 GB chip).
+        Per-variant HBM (TPU stores f64 at 32 B/element — f32 limbs plus
+        tile padding): the (n_rho, R, batch) rotated-genotype family
+        (Gt/GY/G2/GW + the stage-2 weight tensors, ~8 live f64 copies) and
+        the best-rho score factor (R, C) at ~3 copies.  Budget ~5 GB on a
+        16 GB chip.
         """
         R = int(self._ctx.S.shape[1])
         nrho = int(self._ctx.S.shape[0])
-        budget = 2e9
-        cap = int(budget / (nrho * 16 * max(R, 1) * 8 * 3))
+        C = int(self._ctx.E0.shape[1])
+        per_variant = nrho * max(R, 1) * 32 * 8 + max(R, 1) * max(C, 1) * 96
+        cap = int(5e9 / per_variant)
         return max(16, cap)
 
     def _pvalue_ladder(self, Q, lambdas, pv_liu, pv_sp, Wmat=None):

@@ -200,13 +200,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     gy = G.T @ y                                   # (S,)
 
     # --- per-rho rotations as batched matmuls (not inside the vmap) ---
-    # V: (nrho, R, R); rotate once for all variants and rho values.  The
-    # score factor T is rotated for ALL rho here too: gathering V per
-    # variant at its best rho would materialize O(S R^2) (tens of GB).
+    # V: (nrho, R, R); rotate once for all variants and rho values.  (The
+    # score factor T is rotated only at each variant's best rho, after the
+    # rho argmax — an all-rho (nrho, R, C, S) tensor is the scan's largest
+    # allocation by far and OOMs large-n configs.)
     Gt_all = jnp.einsum("krq,rs->kqs", ctx.V, ZG)      # (nrho, R, S)
     Wt_all = jnp.einsum("krq,rp->kqp", ctx.V, ctx.ZW)  # (nrho, R, p)
     yt_all = jnp.einsum("krq,r->kq", ctx.V, ctx.Zy)    # (nrho, R)
-    Tt_all = jnp.einsum("orq,crs->oqcs", ctx.V, T)     # (nrho, R, C, S)
 
     lo, hi, n_grid, n_iters = delta_cfg
 
@@ -347,7 +347,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     br_hi = logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)]
 
     if profile_stage == "grid":  # debug: timing bisection
-        return {"br_lo": br_lo, "br_hi": br_hi, "T": T, "Tt": Tt_all}
+        return {"br_lo": br_lo, "br_hi": br_hi, "T": T}
 
     # --- Newton machinery (precision- and stage-generic) -------------------
     def _derivs(delta, TS, rs, ro):
@@ -449,7 +449,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     delta32 = jax.nn.sigmoid(x32)                       # (S, nrho)
 
     if profile_stage == "zoom":  # debug: timing bisection
-        return {"delta_star": delta32, "T": T, "Tt": Tt_all,
+        return {"delta_star": delta32, "T": T,
                 "br_lo": br32_lo, "br_hi": br32_hi}
 
     # --- stage 2: one f64 lml evaluation at the f32 optimum ---------------
@@ -472,6 +472,16 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
 
     # --- stage 3: f64 Newton at each variant's best rho only --------------
     O_k = jax.nn.one_hot(k_best, ctx.S.shape[0], dtype=f64)     # (S, nrho)
+
+    # rotate the score factor T at the best rho only, as a masked
+    # accumulation over the (static, small) rho grid: the all-rho tensor
+    # (nrho, R, C, S) would be the scan's largest allocation by far
+    # (tens of GB at production sizes)
+    nrho_s = ctx.S.shape[0]
+    At_all = jnp.zeros((T.shape[2], T.shape[1], T.shape[0]), f64)  # (S, R, C)
+    for o in range(nrho_s):
+        To = jnp.einsum("rq,crs->sqc", ctx.V[o], T)             # (S, R, C)
+        At_all = At_all + O_k[:, o][:, None, None] * To
     gather_o = lambda t: jnp.einsum("so,or->sr", O_k, t)        # (S, R)
     gather_s = lambda t: jnp.einsum("so,ors->sr", O_k, t)       # (S, R)
     TS_k = dict(
@@ -515,10 +525,11 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     v0_k = scale_k * (1 - delta_k)
     v1_k = scale_k * delta_k
 
-    def per_snp(gt_k, tt_k, ata, ay, aw, ag, wg, gg_s, gy_s,
+    def per_snp(gt_k, at_s, ata, ay, aw, ag, wg, gg_s, gy_s,
                 k, v0, v1, dstar_k, lml_k_s):
         # X = [W, g];  gt_k: (nrho, R) pre-rotated g; k: best-rho index
-        # with v0/v1/delta from the converged f64 fit at that rho.
+        # with v0/v1/delta from the converged f64 fit at that rho;
+        # at_s: (R, C) score factor already rotated at the best rho.
         XX = jnp.block([[ctx.WW, wg[:, None]], [wg[None, :], gg_s[None, None]]])
         Xy = jnp.concatenate([ctx.Wy, gy_s[None]])
 
@@ -532,7 +543,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
              jnp.take(gt_k, k, axis=0)[:, None]], axis=1
         )                                                            # (R, p+1)
         yt = jnp.take(yt_all, k, axis=0)                             # (R,)
-        At = jnp.take(tt_k, k, axis=0)                               # (R, C)
+        At = at_s                                                    # (R, C)
 
         omega = (v0 * Sb) / (v1 + v0 * Sb)                           # (R,)
 
@@ -579,8 +590,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         }
 
     out = jax.vmap(per_snp,
-                   in_axes=(2, 3, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0))(
-        Gt_all, Tt_all, AtA, Ay, AW, Ag, Wg, gg, gy,
+                   in_axes=(2, 0, 2, 1, 2, 1, 1, 0, 0, 0, 0, 0, 0, 0))(
+        Gt_all, At_all, AtA, Ay, AW, Ag, Wg, gg, gy,
         k_best, v0_k, v1_k, delta_k, lml_k
     )
     if device_pvalues:
