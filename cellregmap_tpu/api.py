@@ -365,10 +365,11 @@ class CellRegMap:
             else np.asarray(self._ctx.rho),
             dtype=self._dtype,
         )
+        # Coarse Woodbury grid: 16 points localize the basin and the golden
+        # refinement converges from any bracket; larger grids multiply the
+        # (batch, n_rho, K) small-matrix tensors for no accuracy gain.
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
-                     cfg.n_delta_grid, cfg.n_golden_iters)
-        # The Woodbury grid stage still vmaps per problem; cap the batch so
-        # O(batch * nrho * K * rank) intermediates stay within HBM.
+                     min(16, cfg.n_delta_grid), cfg.n_golden_iters)
         batch = min(cfg.snp_batch, 64, max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         normp = np.concatenate([norm, np.repeat(norm[:1],

@@ -100,12 +100,15 @@ def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
     Gz = rho[:, None, None] * Ge[None] + (1 - rho)[:, None, None] * Gk[None]
     # The per-rho factorization runs once per dataset; LAPACK on host gives
     # full f64 accuracy (the TPU backend's QDWH eigh is only ~1e-7 and NaNs
-    # on singular inputs).
-    import numpy as _np
+    # on singular inputs).  The rho points are independent, and LAPACK
+    # releases the GIL, so they factorize concurrently.
+    from concurrent.futures import ThreadPoolExecutor
 
-    S_np, V_np = _np.linalg.eigh(_np.asarray(jax.device_get(Gz)))
-    S = jnp.asarray(_np.maximum(S_np, 0.0), dtype)
-    V = jnp.asarray(V_np, dtype)
+    Gz_np = _np.asarray(jax.device_get(Gz))
+    with ThreadPoolExecutor(max_workers=min(len(Gz_np), 8)) as pool:
+        eigs = list(pool.map(_np.linalg.eigh, Gz_np))
+    S = jnp.asarray(_np.maximum(_np.stack([e[0] for e in eigs]), 0.0), dtype)
+    V = jnp.asarray(_np.stack([e[1] for e in eigs]), dtype)
 
     return NullContext(
         y=y, W=W, E0=E0, Z=Z, V=V, S=S, rho=rho,

@@ -350,6 +350,77 @@ def fit_delta_eig(data: EigData, n: int, restricted: bool,
     )
 
 
+def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
+                      logdet_xx):
+    """lml at a VECTOR of logit(delta) grid points, memory-safe.
+
+    vmapping :func:`lml_at_delta_woodbury` over the grid materializes
+    (K, rB, C) weighted factors — tens of GB under a variant x rho vmap.
+    Here every rB-axis contraction is one (K, rB) @ (rB, q^2) GEMM over
+    grid-independent pair products, so the K axis never multiplies rB.
+    """
+    Lam, Ua, Ux, uy, Aa, Ax, ay, xx, xy, yy, rho = data
+    rB = Lam.shape[0]
+    p = Ux.shape[1]
+    C = Ua.shape[1]
+    deltas = jax.nn.sigmoid(logits)                      # (K,)
+    cvec = (1 - deltas) * rho
+    m = (1 - deltas)[:, None] * ((1 - rho) * Lam)[None] \
+        + deltas[:, None]                                # (K, rB)
+    wm = 1.0 / m
+    i1 = 1.0 / deltas
+
+    # stacked columns [A | X | y]: pair products once, GEMM per grid point
+    cols = jnp.concatenate([Ua, Ux, uy[:, None]], axis=1)    # (rB, q)
+    q = C + p + 1
+    P = cols[:, :, None] * cols[:, None, :]                  # (rB, q, q)
+    Gfull = jnp.block([
+        [Aa, Ax, ay[:, None]],
+        [Ax.T, xx, xy[:, None]],
+        [ay[None, :], xy[None, :], jnp.asarray(yy)[None, None]],
+    ])                                                       # (q, q)
+    Pq = P.reshape(rB, q * q)
+    red = (wm @ Pq).reshape(-1, q, q)                        # (K, q, q)
+    comp = Gfull[None] - jnp.sum(P, axis=0)[None]            # (1, q, q)
+    Mi = red + comp * i1[:, None, None]                      # all minner blocks
+
+    H = Mi[:, :C, :C]
+    hX = Mi[:, :C, C : C + p]
+    hy = Mi[:, :C, -1]
+    XmX = Mi[:, C : C + p, C : C + p]
+    Xmy = Mi[:, C : C + p, -1]
+    ymy = Mi[:, -1, -1]
+
+    cap = jnp.eye(C, dtype=Mi.dtype)[None] + cvec[:, None, None] * H
+    cap_chol = jnp.linalg.cholesky(cap)
+    sc = lambda B: jax.scipy.linalg.cho_solve((cap_chol, True), B)
+    hX_s = sc(hX)                                            # (K, C, p)
+    hy_s = sc(hy[..., None])[..., 0]                         # (K, C)
+    A = XmX - cvec[:, None, None] * jnp.einsum("kcp,kcq->kpq", hX, hX_s)
+    b = Xmy - cvec[:, None] * jnp.einsum("kcp,kc->kp", hX, hy_s)
+    yDy = ymy - cvec * jnp.einsum("kc,kc->k", hy, hy_s)
+    logdet_d = (
+        jnp.sum(jnp.log(m), axis=-1)
+        + (n - rB) * jnp.log(deltas)
+        + 2 * jnp.sum(jnp.log(
+            jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
+    )
+
+    from ..ops.linalg import sym_pseudo_solve_and_logdet
+
+    beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None])
+    beta = beta[..., 0]
+    rss = jnp.maximum(yDy - jnp.einsum("kp,kp->k", b, beta),
+                      jnp.finfo(b.dtype).tiny)
+    if restricted:
+        nu = n - p
+        lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
+                      + logdet_a - logdet_xx + nu)
+    else:
+        lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+    return lml
+
+
 def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
                        lo=-18.0, hi=18.0, n_grid=64, n_iters=60) -> FitResult:
     """Full profiled fit with the woodbury backend."""
@@ -360,9 +431,16 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
         ld_xx = sym_pseudo_logdet(data.xx)
     else:
         ld_xx = 0.0
+    # coarse grid via the memory-safe batched evaluator, then golden within
+    # the bracket (sequential, no K axis)
+    grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
+    vals = lml_grid_woodbury(grid, data, n, restricted, ld_xx)
+    k = jnp.argmax(vals)
+    a = grid[jnp.maximum(k - 1, 0)]
+    bb = grid[jnp.minimum(k + 1, n_grid - 1)]
     lml_only = lambda delta: lml_at_delta_woodbury(delta, data, n,
                                                    restricted, ld_xx)[0]
-    delta = _fit_delta(lml_only, lo, hi, n_grid, n_iters, dtype)
+    delta = _golden(lml_only, a, bb, n_iters)
     lml, beta, scale, rss = lml_at_delta_woodbury(delta, data, n, restricted,
                                                   ld_xx)
     return FitResult(
