@@ -431,16 +431,33 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
         ld_xx = sym_pseudo_logdet(data.xx)
     else:
         ld_xx = 0.0
-    # coarse grid via the memory-safe batched evaluator, then golden within
-    # the bracket (sequential, no K axis)
+    # coarse grid via the memory-safe batched evaluator, then zoom rounds
+    # (each one batched GEMM pass, vs 60 *sequential* golden evals) and a
+    # free parabolic-vertex polish on the final grid
     grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
     vals = lml_grid_woodbury(grid, data, n, restricted, ld_xx)
     k = jnp.argmax(vals)
     a = grid[jnp.maximum(k - 1, 0)]
     bb = grid[jnp.minimum(k + 1, n_grid - 1)]
-    lml_only = lambda delta: lml_at_delta_woodbury(delta, data, n,
-                                                   restricted, ld_xx)[0]
-    delta = _golden(lml_only, a, bb, n_iters)
+
+    K2 = 16
+    t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
+    logits, kz = grid, k
+    for _ in range(4):  # bracket shrinks ~7.5x per round
+        logits = a + (bb - a) * t
+        vals = lml_grid_woodbury(logits, data, n, restricted, ld_xx)
+        kz = jnp.argmax(vals)
+        cell = (bb - a) / (K2 - 1)
+        center = a + cell * kz
+        a = jnp.maximum(center - cell, a)
+        bb = jnp.minimum(center + cell, bb)
+    km = jnp.clip(kz, 1, K2 - 2)
+    h = logits[1] - logits[0]
+    f0, f1, f2 = vals[km - 1], vals[km], vals[km + 1]
+    denom = f0 - 2 * f1 + f2
+    step = jnp.where(denom < 0, 0.5 * h * (f0 - f2) / denom, 0.0)
+    x_star = logits[km] + jnp.clip(step, -h, h)
+    delta = jax.nn.sigmoid(x_star)
     lml, beta, scale, rss = lml_at_delta_woodbury(delta, data, n, restricted,
                                                   ld_xx)
     return FitResult(
