@@ -60,60 +60,69 @@ def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
     modes — E-only (rho = [1.0]), E + K (hK given), E + K (.) EE^T (Ls
     given; Ls takes precedence, as in the reference).
     """
-    y = jnp.asarray(y, dtype).ravel()
-    n = y.shape[0]
-    W = jnp.ones((n, 1), dtype) if W is None else jnp.asarray(W, dtype)
-    if W.ndim == 1:
-        W = W[:, None]
-    E1 = jnp.asarray(E1, dtype)
-    E0 = E1 if E0 is None else jnp.asarray(E0, dtype)
+    import numpy as _np
+
+    y_np = _np.asarray(jax.device_get(y), float).ravel()
+    n = y_np.shape[0]
+    W_np = (_np.ones((n, 1)) if W is None
+            else _np.asarray(jax.device_get(W), float))
+    if W_np.ndim == 1:
+        W_np = W_np[:, None]
+    E1_np = _np.asarray(jax.device_get(E1), float)
+    E0_np = E1_np if E0 is None else _np.asarray(jax.device_get(E0), float)
 
     if Ls is not None and len(Ls) > 0:
-        bg_parts = [jnp.asarray(L, dtype) for L in Ls]
+        bg_np = [_np.asarray(jax.device_get(L), float) for L in Ls]
     elif hK is not None:
-        bg_parts = [jnp.asarray(hK, dtype)]
+        bg_np = [_np.asarray(jax.device_get(hK), float)]
     else:
-        bg_parts = []
+        bg_np = []
 
     if rho_grid is None:
-        rho_grid = jnp.linspace(0.0, 1.0, 11) if bg_parts else jnp.array([1.0])
-    rho = jnp.asarray(rho_grid, dtype)
+        rho_grid = _np.linspace(0.0, 1.0, 11) if bg_np else _np.array([1.0])
+    rho_np = _np.asarray(jax.device_get(rho_grid), float)
 
     # One-time basis construction on host LAPACK: full f64 accuracy and
     # robust to exactly rank-deficient factor stacks (the TPU backend's QR
     # and eigh misbehave on those; everything per-batch stays on device).
-    import numpy as _np
-
-    F = _np.concatenate([_np.asarray(jax.device_get(p))
-                         for p in [E1] + bg_parts], axis=1)
-    Z = jnp.asarray(_np.linalg.qr(F, mode="reduced")[0], dtype)
-    Fe = Z.T @ E1
-    Ge = Fe @ Fe.T
-    if bg_parts:
-        Gk = jnp.zeros_like(Ge)
-        for B in bg_parts:
-            Fb = Z.T @ B
-            Gk = Gk + Fb @ Fb.T
+    # Everything here is pure NumPy with a single device upload at the end:
+    # under a remote TPU each jnp op is a separate dispatch (and a separate
+    # first-use compile), which dominated setup time.  The QR factor gives
+    # the rotations for free: F = Z R  =>  Z^T F = R, so Ge/Gk are Gram
+    # blocks of R — no extra n-length matmuls.
+    F = _np.concatenate([E1_np] + bg_np, axis=1)
+    Z_np, R_np = _np.linalg.qr(F, mode="reduced")
+    C1 = E1_np.shape[1]
+    Re = R_np[:, :C1]
+    Ge = Re @ Re.T
+    if bg_np:
+        Rk = R_np[:, C1:]
+        Gk = Rk @ Rk.T
     else:
-        Gk = jnp.zeros_like(Ge)
+        Gk = _np.zeros_like(Ge)
 
-    Gz = rho[:, None, None] * Ge[None] + (1 - rho)[:, None, None] * Gk[None]
+    Gz = rho_np[:, None, None] * Ge[None] \
+        + (1 - rho_np)[:, None, None] * Gk[None]
     # The per-rho factorization runs once per dataset; LAPACK on host gives
     # full f64 accuracy (the TPU backend's QDWH eigh is only ~1e-7 and NaNs
     # on singular inputs).  The rho points are independent, and LAPACK
     # releases the GIL, so they factorize concurrently.
     from concurrent.futures import ThreadPoolExecutor
 
-    Gz_np = _np.asarray(jax.device_get(Gz))
-    with ThreadPoolExecutor(max_workers=min(len(Gz_np), 8)) as pool:
-        eigs = list(pool.map(_np.linalg.eigh, Gz_np))
+    with ThreadPoolExecutor(max_workers=min(len(Gz), 8)) as pool:
+        eigs = list(pool.map(_np.linalg.eigh, Gz))
     S = jnp.asarray(_np.maximum(_np.stack([e[0] for e in eigs]), 0.0), dtype)
     V = jnp.asarray(_np.stack([e[1] for e in eigs]), dtype)
 
     return NullContext(
-        y=y, W=W, E0=E0, Z=Z, V=V, S=S, rho=rho,
-        Zy=Z.T @ y, ZW=Z.T @ W,
-        WW=W.T @ W, Wy=W.T @ y, yy=y @ y,
+        y=jnp.asarray(y_np, dtype), W=jnp.asarray(W_np, dtype),
+        E0=jnp.asarray(E0_np, dtype), Z=jnp.asarray(Z_np, dtype),
+        V=V, S=S, rho=jnp.asarray(rho_np, dtype),
+        Zy=jnp.asarray(Z_np.T @ y_np, dtype),
+        ZW=jnp.asarray(Z_np.T @ W_np, dtype),
+        WW=jnp.asarray(W_np.T @ W_np, dtype),
+        Wy=jnp.asarray(W_np.T @ y_np, dtype),
+        yy=jnp.asarray(y_np @ y_np, dtype),
     )
 
 
@@ -725,39 +734,38 @@ class BetasContext(NamedTuple):
 
 def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
                         dtype=jnp.float64):
-    y = jnp.asarray(y, dtype).ravel()
-    n = y.shape[0]
-    W = jnp.ones((n, 1), dtype) if W is None else jnp.asarray(W, dtype)
-    E0 = jnp.asarray(E0, dtype)
-    parts = [jnp.asarray(L, dtype) for L in (Ls or [])]
-    if parts:
-        import numpy as _np
+    # Pure-NumPy setup with one device upload at the end (same rationale as
+    # build_null_context); Gk comes free from the QR R factor.
+    import numpy as _np
 
-        F = _np.concatenate([_np.asarray(jax.device_get(p)) for p in parts],
-                            axis=1)
-        Zk = jnp.asarray(_np.linalg.qr(F, mode="reduced")[0], dtype)
-        Gk = jnp.zeros((Zk.shape[1], Zk.shape[1]), dtype)
-        for B in parts:
-            Fb = Zk.T @ B
-            Gk = Gk + Fb @ Fb.T
-        Lam_np, Vk_np = _np.linalg.eigh(_np.asarray(jax.device_get(Gk)))
-        Lam = jnp.asarray(_np.maximum(Lam_np, 0.0), dtype)
-        Vk = jnp.asarray(Vk_np, dtype)
+    y_np = _np.asarray(jax.device_get(y), float).ravel()
+    n = y_np.shape[0]
+    W_np = (_np.ones((n, 1)) if W is None
+            else _np.asarray(jax.device_get(W), float))
+    E0_np = _np.asarray(jax.device_get(E0), float)
+    parts = [_np.asarray(jax.device_get(L), float) for L in (Ls or [])]
+    if parts:
+        F = _np.concatenate(parts, axis=1)
+        Zk_np, Rk_np = _np.linalg.qr(F, mode="reduced")
+        Lam_np, Vk_np = _np.linalg.eigh(Rk_np @ Rk_np.T)
+        Lam_np = _np.maximum(Lam_np, 0.0)
     else:
         # Degenerate background (reference still runs: hSigma_p = sqrt(rho) gE
         # only, _cellregmap.py:164-166).
-        Zk = jnp.zeros((n, 1), dtype)
-        Vk = jnp.eye(1, dtype=dtype)
-        Lam = jnp.zeros((1,), dtype)
+        Zk_np = _np.zeros((n, 1))
+        Vk_np = _np.eye(1)
+        Lam_np = _np.zeros((1,))
     if rho_grid is None:
-        rho_grid = jnp.linspace(0.0, 1.0, 11)
-    rho = jnp.asarray(rho_grid, dtype)
-    U_T = lambda M: Vk.T @ (Zk.T @ M)
+        rho_grid = _np.linspace(0.0, 1.0, 11)
+    rho_np = _np.asarray(jax.device_get(rho_grid), float)
+    U_T = lambda M: Vk_np.T @ (Zk_np.T @ M)
+    j = lambda a: jnp.asarray(a, dtype)
     return BetasContext(
-        y=y, W=W, E0=E0, Zk=Zk, Vk=Vk, Lam=Lam, rho=rho,
-        uy=U_T(y), UW=U_T(W), UE=U_T(E0),
-        WW=W.T @ W, WE=W.T @ E0, EE=E0.T @ E0,
-        Wy=W.T @ y, Ey=E0.T @ y, yy=y @ y,
+        y=j(y_np), W=j(W_np), E0=j(E0_np), Zk=j(Zk_np), Vk=j(Vk_np),
+        Lam=j(Lam_np), rho=j(rho_np),
+        uy=j(U_T(y_np)), UW=j(U_T(W_np)), UE=j(U_T(E0_np)),
+        WW=j(W_np.T @ W_np), WE=j(W_np.T @ E0_np), EE=j(E0_np.T @ E0_np),
+        Wy=j(W_np.T @ y_np), Ey=j(E0_np.T @ y_np), yy=j(y_np @ y_np),
     )
 
 

@@ -29,11 +29,13 @@ def get_L_values(hK, E):
     """List of factors L_i with sum_i L_i L_i^T = (hK hK^T) (.) (E E^T).
 
     Mirrors the reference API (_cellregmap.py:533-545): returns a list of
-    (n x k) arrays, one per retained singular vector of E.
+    (n x k) arrays, one per retained singular vector of E.  Host-side
+    (NumPy): this is one-time setup; keeping it off-device avoids C
+    separate dispatches per call.
     """
-    hK = jnp.asarray(hK)
+    hK = np.asarray(hK, float)
     U, s = _economic_svd(E)
-    us = jnp.asarray(U * s[None, :])
+    us = U * s[None, :]
     return [us[:, i : i + 1] * hK for i in range(us.shape[1])]
 
 
