@@ -378,7 +378,8 @@ class CellRegMap:
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
             nb = jnp.asarray(normp[start : start + batch], self._dtype)
             beta_g, alpha, _ = engine.predict_interaction_kernel(
-                bctx, gb, nb, self._n, delta_cfg=delta_cfg
+                bctx, gb, nb, self._n, delta_cfg=delta_cfg,
+                localize_f32=cfg.hybrid_localization,
             )
             return beta_g, alpha
 

@@ -769,16 +769,19 @@ def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "delta_cfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "delta_cfg", "localize_f32"))
 def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
-                               delta_cfg=(-18.0, 18.0, 64, 60)):
+                               delta_cfg=(-18.0, 18.0, 64, 60),
+                               localize_f32: bool = False):
     """Per-variant REML fits with covariance rho (gE)(gE)^T + (1-rho) K(.)E.
 
     Replaces the reference's per-SNP x per-rho thin SVDs
     (_cellregmap.py:152-198) with the Woodbury backend: no factorization at
     all per variant, just rank-C capacitance solves.  Returns
     (beta_g (S,), alpha_gxe (C, S)) with beta_gxe = E0 @ alpha_gxe computed
-    by the caller as one matmul.
+    by the caller as one matmul.  ``localize_f32`` runs the delta-grid
+    localization in f32 (hybrid precision; final fits stay f64).
     """
     W, E0, y = ctx.W, ctx.E0, ctx.y
     p = W.shape[1]
@@ -821,7 +824,8 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
                 xx=xx, xy=xy, yy=ctx.yy, rho=rho,
             )
             return lmm_mod.fit_delta_woodbury(data, n, True, lo, hi, n_grid,
-                                              n_iters)
+                                              n_iters,
+                                              localize_f32=localize_f32)
 
         fits = jax.vmap(fit_rho)(ctx.rho)
         k = jnp.argmax(fits.lml)

@@ -351,7 +351,7 @@ def fit_delta_eig(data: EigData, n: int, restricted: bool,
 
 
 def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
-                      logdet_xx):
+                      logdet_xx, rcond: float = 1e-12):
     """lml at a VECTOR of logit(delta) grid points, memory-safe.
 
     vmapping :func:`lml_at_delta_woodbury` over the grid materializes
@@ -408,7 +408,7 @@ def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
 
     from ..ops.linalg import sym_pseudo_solve_and_logdet
 
-    beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None])
+    beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None], rcond=rcond)
     beta = beta[..., 0]
     rss = jnp.maximum(yDy - jnp.einsum("kp,kp->k", b, beta),
                       jnp.finfo(b.dtype).tiny)
@@ -422,8 +422,18 @@ def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
 
 
 def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
-                       lo=-18.0, hi=18.0, n_grid=64, n_iters=60) -> FitResult:
-    """Full profiled fit with the woodbury backend."""
+                       lo=-18.0, hi=18.0, n_grid=64, n_iters=60,
+                       localize_f32: bool = False) -> FitResult:
+    """Full profiled fit with the woodbury backend.
+
+    With ``localize_f32`` the coarse grid and the first zoom round run in
+    float32 — TPU f64 is software-emulated, and localization only needs to
+    *bracket* the optimum, not resolve it — then the bracket is re-expanded
+    by an extra cell (margin against f32 lml noise) and the remaining zoom
+    rounds plus the final evaluation run in f64.  Same hybrid-precision
+    scheme as engine.interaction_batch; equality vs the full-f64 path is
+    pinned in tests/test_hybrid.py.
+    """
     dtype = data.uy.dtype
     if restricted:
         from ..ops.linalg import sym_pseudo_logdet
@@ -431,26 +441,54 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
         ld_xx = sym_pseudo_logdet(data.xx)
     else:
         ld_xx = 0.0
+
+    use32 = bool(localize_f32) and dtype == jnp.float64
+    if use32:
+        data32 = WoodburyData(*[jnp.asarray(a, jnp.float32) for a in data])
+        ld32 = jnp.asarray(ld_xx, jnp.float32)
+
+    def grid_vals(logits, f32_round):
+        if f32_round:
+            # f32 ridge at 1e-6 (1e-12 is below f32 eps); -inf-guard any
+            # NaN from a marginally non-PD f32 Cholesky so argmax ignores it
+            v = lml_grid_woodbury(logits.astype(jnp.float32), data32, n,
+                                  restricted, ld32, rcond=1e-6)
+            return jnp.where(jnp.isfinite(v), v,
+                             -jnp.inf).astype(dtype)
+        return lml_grid_woodbury(logits, data, n, restricted, ld_xx)
+
     # coarse grid via the memory-safe batched evaluator, then zoom rounds
     # (each one batched GEMM pass, vs 60 *sequential* golden evals) and a
     # free parabolic-vertex polish on the final grid
     grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
-    vals = lml_grid_woodbury(grid, data, n, restricted, ld_xx)
+    vals = grid_vals(grid, use32)
     k = jnp.argmax(vals)
-    a = grid[jnp.maximum(k - 1, 0)]
-    bb = grid[jnp.minimum(k + 1, n_grid - 1)]
+    # +-2 cells in hybrid mode: an f32-noise-shifted coarse argmax one cell
+    # off would otherwise exclude the true optimum from every later round
+    kpad = 2 if use32 else 1
+    a = grid[jnp.maximum(k - kpad, 0)]
+    bb = grid[jnp.minimum(k + kpad, n_grid - 1)]
 
     K2 = 16
     t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
     logits, kz = grid, k
-    for _ in range(4):  # bracket shrinks ~7.5x per round
+    # one extra round in hybrid mode: the f32 round's noise margin (pad=2)
+    # costs one bracket halving, recovered here so the final-bracket width
+    # (hence the parabolic vertex's accuracy) matches the full-f64 path
+    n_rounds = 5 if use32 else 4
+    for r in range(n_rounds):  # bracket shrinks ~7.5x per round
+        f32_round = use32 and r == 0
         logits = a + (bb - a) * t
-        vals = lml_grid_woodbury(logits, data, n, restricted, ld_xx)
+        vals = grid_vals(logits, f32_round)
         kz = jnp.argmax(vals)
         cell = (bb - a) / (K2 - 1)
         center = a + cell * kz
-        a = jnp.maximum(center - cell, a)
-        bb = jnp.minimum(center + cell, bb)
+        # +-2 cells after an f32 round: near the optimum f32 lml noise can
+        # shift the argmax by a cell, and a noise-shrunk bracket that
+        # excludes the true optimum would clamp every later f64 round
+        pad = 2.0 if f32_round else 1.0
+        a = jnp.maximum(center - pad * cell, a)
+        bb = jnp.minimum(center + pad * cell, bb)
     km = jnp.clip(kz, 1, K2 - 2)
     h = logits[1] - logits[0]
     f0, f1, f2 = vals[km - 1], vals[km], vals[km + 1]
