@@ -59,8 +59,9 @@ def _pipelined(starts, launch, window: int = 4):
 
 def _batch_starts(total, batch, progress, desc):
     """Batch-start iterator with optional tqdm progress (the reference shows
-    per-SNP tqdm bars, _cellregmap.py:270,340)."""
-    starts = range(0, total, batch)
+    per-SNP tqdm bars, _cellregmap.py:270,340).  ``total`` may be an int
+    (iterate 0..total step batch) or an explicit list of batch starts."""
+    starts = range(0, total, batch) if isinstance(total, int) else total
     if progress:
         try:
             from tqdm import tqdm
@@ -149,10 +150,16 @@ class CellRegMap:
         return new
 
     # -- interaction -------------------------------------------------------
-    def scan_interaction(self, G, idx_E=None, idx_G=None):
+    def scan_interaction(self, G, idx_E=None, idx_G=None,
+                         checkpoint=None, checkpoint_every: int = 1):
         """Score test for GxC interaction per variant (reference :317-440).
 
         Returns ``(pvalues, info)`` with info = {rho1, e2, g2, eps2} arrays.
+
+        ``checkpoint``: optional directory; completed variant batches are
+        persisted there (cursor + result tables) and a restarted scan with
+        the same inputs resumes from the cursor instead of redoing per-SNP
+        work (the reference loses everything on a crash, SURVEY 5.3/5.4).
         """
         cfg = self._cfg
         G = np.asarray(G, float)
@@ -172,21 +179,49 @@ class CellRegMap:
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid_interaction, cfg.n_golden_iters)
         timers = trace.PhaseTimers() if cfg.trace else None
+
+        ckpt = None
+        start_batch = 0
+        outs = []
+        if checkpoint is not None:
+            from .parallel.checkpoint import ScanCheckpoint
+
+            ckpt = ScanCheckpoint(checkpoint)
+            state = ckpt.load()
+            if (state is not None
+                    and state["meta"].get("n_snps") == n_snps
+                    and state["meta"].get("batch") == batch):
+                start_batch = state["cursor"]
+                outs = [state["results"]]
+
         # Pipelined dispatch: XLA execution is async, so enqueue a window of
         # batches ahead before blocking on device_get — host work (h2d of
         # the next batch, result assembly, the Davies tail pass) overlaps
-        # device compute instead of serializing with it.
-        window = 4
+        # device compute instead of serializing with it.  Checkpointed scans
+        # serialize (window 1) so every completed batch is durable before
+        # the next one is dispatched.
+        window = 4 if ckpt is None else 1
         pending: list = []
-        outs = []
+        done = start_batch
 
         def _drain(k):
+            nonlocal done
             while len(pending) > k:
                 with trace.trace_scope("interaction/device_get", timers) \
                         if timers else contextlib.nullcontext():
                     outs.append(jax.device_get(pending.pop(0)))
+                done += 1
+                if ckpt is not None and (done % checkpoint_every == 0
+                                         or not pending):
+                    flat = {kk: np.concatenate([np.asarray(o[kk])
+                                                for o in outs])
+                            for kk in outs[0]}
+                    ckpt.save(done, flat,
+                              {"n_snps": n_snps, "batch": batch})
+                    outs[:] = [flat]
 
-        for start in _batch_starts(Gp.shape[1], batch, cfg.progress,
+        all_starts = list(range(0, Gp.shape[1], batch))[start_batch:]
+        for start in _batch_starts(all_starts, batch, cfg.progress,
                                    "scan_interaction"):
             with trace.trace_scope("interaction/dispatch", timers) \
                     if timers else contextlib.nullcontext():
@@ -201,8 +236,10 @@ class CellRegMap:
                 ))
             _drain(window - 1)
         _drain(0)
-        res = {k: np.concatenate([o[k] for o in outs])[:n_snps]
+        res = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n_snps]
                for k in outs[0]}
+        if ckpt is not None:
+            ckpt.clear()
 
         with trace.trace_scope("interaction/pvalue_ladder", timers) \
                 if timers else contextlib.nullcontext():
@@ -400,7 +437,10 @@ class CellRegMap:
         n = self._n
         E0, W, y = self._E0, self._W, self._y
         gE = g[:, None] * E0
-        M = np.concatenate((W, g[:, None], E0), axis=1)
+        # reduced full-rank design (see engine.BetasContext: [W, g, E0] is
+        # often exactly collinear; glimix fits the SVD-reduced design)
+        B = engine.reduced_design_basis(W, E0)
+        M = np.concatenate((B, g[:, None]), axis=1)
 
         # Fits over the null rho grid with mean M (eig backend, dense host
         # assembly is fine: single variant).

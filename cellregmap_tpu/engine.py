@@ -133,20 +133,69 @@ def _khatri_rao_rotate(Z, E0, G):
     """T[c] = Z^T (E0[:, c] (.) G)  ->  (C, R, S).
 
     The dominant contraction of the scan (n * R * C * S flops), expressed as
-    C large matmuls so XLA tiles them onto the MXU.
+    ONE (R, n) @ (n, C*S) matmul over the materialized Khatri-Rao product —
+    a single MXU-shaped HLO op instead of C separate matmuls (the loop form
+    multiplied compile time by C and serialized C kernel launches).  The
+    (n, C, S) intermediate is accounted for in api._auto_batch_cap.
     """
-    cols = []
-    for c in range(E0.shape[1]):
-        cols.append(Z.T @ (G * E0[:, c : c + 1]))
-    return jnp.stack(cols, axis=0)
+    n, C = E0.shape
+    S = G.shape[1]
+    KR = (E0[:, :, None] * G[:, None, :]).reshape(n, C * S)
+    return (Z.T @ KR).reshape(-1, C, S).transpose(1, 0, 2)
 
 
 def _e0_weighted_grams(E0, Gpow):
-    """M[c, d, s] = sum_n E0[n,c] E0[n,d] Gpow[n,s]  ->  (C, C, S)."""
-    rows = []
-    for c in range(E0.shape[1]):
-        rows.append(E0.T @ (Gpow * E0[:, c : c + 1]))
-    return jnp.stack(rows, axis=0)
+    """M[c, d, s] = sum_n E0[n,c] E0[n,d] Gpow[n,s]  ->  (C, C, S).
+
+    One (C, n) @ (n, C*S) matmul over the Khatri-Rao product (see
+    :func:`_khatri_rao_rotate`).
+    """
+    n, C = E0.shape
+    S = Gpow.shape[1]
+    KR = (E0[:, :, None] * Gpow[:, None, :]).reshape(n, C * S)
+    return (E0.T @ KR).reshape(C, C, S)
+
+
+def _cross_weighted_grams(U, V, G):
+    """M[c, j, s] = sum_n U[n,c] V[n,j] G[n,s]  ->  (C, p, S), one matmul."""
+    n, p = V.shape
+    S = G.shape[1]
+    KR = (V[:, :, None] * G[:, None, :]).reshape(n, p * S)
+    return (U.T @ KR).reshape(U.shape[1], p, S)
+
+
+def score_test_core(Sb, Xt, yt, At, XX, Xy, AX, ay, AtA, v0, v1):
+    """Score statistic Q = 1/2 ||A^T P y||^2 and weight matrix 1/2 A^T P A.
+
+    The engine's score pass (reference _math.py:102-128 semantics) for one
+    problem: all quantities are given in the covariance eigenbasis (``Sb``
+    eigenvalues; ``Xt``/``yt``/``At`` rotated) plus the full-space Grams
+    (``XX``, ``Xy``, ``AX`` = A^T X, ``ay`` = A^T y, ``AtA``) that supply the
+    orthogonal-complement contributions.  cov = v0 Sigma + v1 I.
+
+    Used by :func:`interaction_batch` per variant, and directly by the
+    reference-golden parity tests (tests/test_reference_parity.py) to pin
+    the reference's exact constants through this engine path.
+    """
+    omega = (v0 * Sb) / (v1 + v0 * Sb)
+
+    def kq(ut, vt, uv):
+        """u^T K0^{-1} v = (u^T v - u^T Q diag(omega) Q^T v)/v1."""
+        scaled = omega[:, None] * vt if vt.ndim == 2 else omega * vt
+        return (uv - ut.T @ scaled) / v1
+
+    XKX = kq(Xt, Xt, XX)
+    XKy = kq(Xt, yt, Xy)
+    AKX = kq(At, Xt, AX)
+    AKy = kq(At, yt, ay)
+    AKA = kq(At, At, AtA)
+
+    B = sym_pseudo_solve(XKX, jnp.concatenate([XKy[:, None], AKX.T], axis=1))
+    APy = AKy - AKX @ B[:, 0]
+    APA = AKA - AKX @ B[:, 1:]
+    Q = 0.5 * APy @ APy
+    Wmat = 0.25 * (APA + APA.T)  # 1/2 A^T P A, symmetrized
+    return Q, Wmat
 
 
 def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
@@ -203,9 +252,7 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     G2s = G_score * G_score
     AtA = _e0_weighted_grams(E0, G2s)              # (C, C, S)
     Ay = E0.T @ (G_score * y[:, None])             # (C, S)
-    AW = jnp.stack(
-        [E0.T @ (G_score * W[:, j : j + 1]) for j in range(p)], axis=1
-    )                                              # (C, p, S)
+    AW = _cross_weighted_grams(E0, W, G_score)     # (C, p, S)
     Ag = E0.T @ (G_score * G)                      # (C, S)  A^T g (unpermuted g)
     Wg = W.T @ G                                   # (p, S)
     gg = jnp.sum(G * G, axis=0)                    # (S,)
@@ -335,6 +382,9 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     rss_grid = yy_grid
     for j in range(p1):
         rss_grid = rss_grid - b_comp[j] * beta_c[j]
+    # grid points whose residual collapsed below the f32 floor are numerical
+    # garbage; exclude them from the argmax (ADVICE.md round 1)
+    rss_collapsed = rss_grid <= 8 * jnp.finfo(fast).tiny
     rss_grid = jnp.maximum(rss_grid, jnp.finfo(fast).tiny)
 
     # logdet(X^T X) is delta-independent: compute once per variant (f64;
@@ -353,10 +403,16 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         - ld_xx.astype(fast)[:, None, None]
         + nu
     )                                                   # (S, nrho, K)
+    lml_grid = jnp.where(rss_collapsed | ~jnp.isfinite(lml_grid),
+                         -jnp.inf, lml_grid)
+    # pathological all-non-finite rows fall back to the full bracket so the
+    # f64 stages degrade to a plain search instead of pinning the low edge
+    row_bad = jnp.all(~jnp.isfinite(lml_grid), axis=-1)  # (S, nrho)
     k_grid = jnp.argmax(lml_grid, axis=-1)              # (S, nrho)
     logit_grid = jnp.linspace(lo, hi, n_grid)
-    br_lo = logit_grid[jnp.maximum(k_grid - 1, 0)]
-    br_hi = logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)]
+    br_lo = jnp.where(row_bad, lo, logit_grid[jnp.maximum(k_grid - 1, 0)])
+    br_hi = jnp.where(row_bad, hi,
+                      logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)])
 
     if profile_stage == "grid":  # debug: timing bisection
         return {"br_lo": br_lo, "br_hi": br_hi, "T": T}
@@ -557,27 +613,9 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         yt = jnp.take(yt_all, k, axis=0)                             # (R,)
         At = at_s                                                    # (R, C)
 
-        omega = (v0 * Sb) / (v1 + v0 * Sb)                           # (R,)
-
-        def kq(ut, vt, uv):
-            """u^T K0^{-1} v = (u^T v - u^T Q diag(omega) Q^T v)/v1."""
-            scaled = omega[:, None] * vt if vt.ndim == 2 else omega * vt
-            return (uv - ut.T @ scaled) / v1
-
         AX_full = jnp.concatenate([aw, ag[:, None]], axis=1)         # (C, p+1)
-        XKX = kq(Xt, Xt, XX)
-        XKy = kq(Xt, yt, Xy)
-        AKX = kq(At, Xt, AX_full)                                    # (C, p+1)
-        AKy = kq(At, yt, ay)
-        AKA = kq(At, At, ata)
-
-        B = sym_pseudo_solve(
-            XKX, jnp.concatenate([XKy[:, None], AKX.T], axis=1)
-        )
-        APy = AKy - AKX @ B[:, 0]
-        APA = AKA - AKX @ B[:, 1:]
-        Q = 0.5 * APy @ APy
-        Wmat = 0.25 * (APA + APA.T)  # 1/2 A^T P A, symmetrized
+        Q, Wmat = score_test_core(Sb, Xt, yt, At, XX, Xy, AX_full, ay,
+                                  ata, v0, v1)
         if device_pvalues:
             from .ops.linalg import safe_eigh
 
@@ -712,24 +750,41 @@ def fast_scan_kernel(ctx: NullContext, G, k_rho, delta, n: int):
 # Effect-size estimation (Woodbury backend)
 # --------------------------------------------------------------------------
 class BetasContext(NamedTuple):
-    """State for estimate_betas: fixed background U Lam U^T = sum_i L_i L_i^T."""
+    """State for estimate_betas: fixed background U Lam U^T = sum_i L_i L_i^T.
+
+    The mean design is D = [B, g] where B is the full-rank economic-SVD
+    reduction of [W, E0] (glimix-core's tX = U S convention): the reference's
+    M = [W, g, E0] (_cellregmap.py:155) is frequently *exactly* rank
+    deficient (block-structured contexts span the intercept), and glimix's
+    LMM fits on the SVD-reduced design.  Fitting the raw collinear design
+    instead contaminates logdet(M^T D^{-1} M) with O(1) noise and corrupts
+    the rho/delta argmaxes.  beta_g is the (unique, identifiable) g
+    coefficient = the last entry of the reduced-design solution.
+    """
 
     y: jax.Array       # (n,)
-    W: jax.Array       # (n, p)
+    B: jax.Array       # (n, pB) reduced design basis of [W, E0]
     E0: jax.Array      # (n, C)
     Zk: jax.Array      # (n, Rk) basis of the background factors
     Vk: jax.Array      # (Rk, Rk)
     Lam: jax.Array     # (Rk,)
     rho: jax.Array     # (n_rho,)
     uy: jax.Array      # (Rk,)  U^T y
-    UW: jax.Array      # (Rk, p)
-    UE: jax.Array      # (Rk, C)
-    WW: jax.Array
-    WE: jax.Array      # (p, C)
-    EE: jax.Array      # (C, C)
-    Wy: jax.Array
-    Ey: jax.Array      # (C,)
+    UB: jax.Array      # (Rk, pB)
+    BB: jax.Array      # (pB, pB)
+    By: jax.Array      # (pB,)
     yy: jax.Array
+
+
+def reduced_design_basis(W, E0):
+    """Full-rank basis of span[W, E0] in glimix tX = U S convention (host)."""
+    import numpy as _np
+
+    WE = _np.concatenate([_np.asarray(W, float), _np.asarray(E0, float)],
+                         axis=1)
+    U, sv, _ = _np.linalg.svd(WE, full_matrices=False)
+    keep = sv >= _np.sqrt(_np.finfo(float).eps)
+    return U[:, keep] * sv[keep]
 
 
 def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
@@ -743,6 +798,7 @@ def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
     W_np = (_np.ones((n, 1)) if W is None
             else _np.asarray(jax.device_get(W), float))
     E0_np = _np.asarray(jax.device_get(E0), float)
+    B_np = reduced_design_basis(W_np, E0_np)
     parts = [_np.asarray(jax.device_get(L), float) for L in (Ls or [])]
     if parts:
         F = _np.concatenate(parts, axis=1)
@@ -761,11 +817,10 @@ def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
     U_T = lambda M: Vk_np.T @ (Zk_np.T @ M)
     j = lambda a: jnp.asarray(a, dtype)
     return BetasContext(
-        y=j(y_np), W=j(W_np), E0=j(E0_np), Zk=j(Zk_np), Vk=j(Vk_np),
+        y=j(y_np), B=j(B_np), E0=j(E0_np), Zk=j(Zk_np), Vk=j(Vk_np),
         Lam=j(Lam_np), rho=j(rho_np),
-        uy=j(U_T(y_np)), UW=j(U_T(W_np)), UE=j(U_T(E0_np)),
-        WW=j(W_np.T @ W_np), WE=j(W_np.T @ E0_np), EE=j(E0_np.T @ E0_np),
-        Wy=j(W_np.T @ y_np), Ey=j(E0_np.T @ y_np), yy=j(y_np @ y_np),
+        uy=j(U_T(y_np)), UB=j(U_T(B_np)),
+        BB=j(B_np.T @ B_np), By=j(B_np.T @ y_np), yy=j(y_np @ y_np),
     )
 
 
@@ -782,40 +837,38 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
     (beta_g (S,), alpha_gxe (C, S)) with beta_gxe = E0 @ alpha_gxe computed
     by the caller as one matmul.  ``localize_f32`` runs the delta-grid
     localization in f32 (hybrid precision; final fits stay f64).
+
+    The mean design is the reduced [B, g] (see :class:`BetasContext`);
+    beta_g is the last coefficient.
     """
-    W, E0, y = ctx.W, ctx.E0, ctx.y
-    p = W.shape[1]
+    B, E0, y = ctx.B, ctx.E0, ctx.y
+    pB = B.shape[1]
     C = E0.shape[1]
     lo, hi, n_grid, n_iters = delta_cfg
 
     # Heavy contractions, once per batch.
     Tk = _khatri_rao_rotate(ctx.Zk, E0, G)           # (C, Rk', S) pre-Vk
     ZkG = ctx.Zk.T @ G                               # (Rk', S)
-    M1 = _e0_weighted_grams(E0, G)                   # (C, C, S)  E0' diag(g) E0
     M2 = _e0_weighted_grams(E0, G * G)               # (C, C, S)  A^T A
-    AW = jnp.stack(
-        [E0.T @ (G * W[:, j : j + 1]) for j in range(p)], axis=1
-    )                                                # (C, p, S)
+    AB = _cross_weighted_grams(E0, B, G)             # (C, pB, S)  A^T B
     ay = E0.T @ (G * y[:, None])                     # (C, S)
     Ag2 = E0.T @ (G * G)                             # (C, S)  A^T g
-    Wg = W.T @ G                                     # (p, S)
-    Eg = E0.T @ G                                    # (C, S)
+    Bg = B.T @ G                                     # (pB, S)
     gg = jnp.sum(G * G, axis=0)
     gy = G.T @ y
 
-    def per_snp(t, zkg, m1, m2, aw, ay_s, ag2, wg, eg, gg_s, gy_s, norm_s):
+    def per_snp(t, zkg, m2, ab, ay_s, ag2, bg, gg_s, gy_s, norm_s):
         Ua = ctx.Vk.T @ t.T                          # (Rk, C)
         ug = ctx.Vk.T @ zkg                          # (Rk,)
-        Ux = jnp.concatenate([ctx.UW, ug[:, None], ctx.UE], axis=1)  # (Rk, pM)
-        # M-matrix grams: M = [W, g, E0]
+        Ux = jnp.concatenate([ctx.UB, ug[:, None]], axis=1)  # (Rk, pB+1)
+        # design grams: D = [B, g]
         xx = jnp.block([
-            [ctx.WW, wg[:, None], ctx.WE],
-            [wg[None, :], gg_s[None, None], eg[None, :]],
-            [ctx.WE.T, eg[:, None], ctx.EE],
+            [ctx.BB, bg[:, None]],
+            [bg[None, :], gg_s[None, None]],
         ])
-        xy = jnp.concatenate([ctx.Wy, gy_s[None], ctx.Ey])
-        # A^T M-columns: [A^T W, A^T g, A^T E0]
-        Ax = jnp.concatenate([aw, ag2[:, None], m1], axis=1)
+        xy = jnp.concatenate([ctx.By, gy_s[None]])
+        # A^T design columns: [A^T B, A^T g]
+        Ax = jnp.concatenate([ab, ag2[:, None]], axis=1)
 
         def fit_rho(rho):
             data = lmm_mod.WoodburyData(
@@ -837,7 +890,7 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
         v1 = take(fits.v1)
         scale = take(fits.scale)
 
-        beta_g = beta[p]
+        beta_g = beta[pB]  # the g coefficient (last design column)
 
         # v = (v0 Sigma_p + v1 I)^{-1} (y - M beta) = D^{-1} r / scale
         c = (1 - delta) * rho1
@@ -854,6 +907,6 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
         return beta_g, alpha, rho1, v0, v1, take(fits.lml)
 
     beta_g, alpha, rho1, v0, v1, lml = jax.vmap(
-        per_snp, in_axes=(2, 1, 2, 2, 2, 1, 1, 1, 1, 0, 0, 0)
-    )(Tk, ZkG, M1, M2, AW, ay, Ag2, Wg, Eg, gg, gy, norm)
+        per_snp, in_axes=(2, 1, 2, 2, 1, 1, 1, 0, 0, 0)
+    )(Tk, ZkG, M2, AB, ay, Ag2, Bg, gg, gy, norm)
     return beta_g, alpha.T, {"rho1": rho1, "v0": v0, "v1": v1, "lml": lml}

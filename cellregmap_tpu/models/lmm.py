@@ -410,15 +410,192 @@ def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
 
     beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None], rcond=rcond)
     beta = beta[..., 0]
-    rss = jnp.maximum(yDy - jnp.einsum("kp,kp->k", b, beta),
-                      jnp.finfo(b.dtype).tiny)
+    rss_raw = yDy - jnp.einsum("kp,kp->k", b, beta)
+    rss = jnp.maximum(rss_raw, jnp.finfo(b.dtype).tiny)
+    if b.dtype == jnp.float32:
+        # f32 localization round: a numerically-collapsed residual clamped
+        # at tiny would otherwise become a huge finite lml that wins the
+        # argmax and steers the bracket to garbage (ADVICE.md round 1);
+        # mask such degenerate grid points out of the argmax instead.
+        collapsed = rss_raw <= 8 * jnp.finfo(jnp.float32).tiny
+    else:
+        collapsed = None
     if restricted:
         nu = n - p
         lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
                       + logdet_a - logdet_xx + nu)
     else:
         lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+    if collapsed is not None:
+        lml = jnp.where(collapsed, -jnp.inf, lml)
     return lml
+
+
+def _woodbury_family_eval(logits, rho, Pq, comp, Lam, C, n, restricted,
+                          logdet_xx, rcond, want_beta=False):
+    """lml (and optionally beta/rss) at paired (logit, rho) points sharing
+    one pair-product tensor.
+
+    ``Pq``: (rB, q*q) flattened pair products of cols = [Ua | Ux | uy] —
+    *independent of both rho and delta*, so a whole (rho x delta) family is
+    one (L, rB) @ (rB, q*q) GEMM (VERDICT round-1 item 6: the previous
+    per-rho evaluator rebuilt P eleven times per variant).
+    ``comp``: (q, q) complement Gram ``Gfull - sum_r P_r``.
+    """
+    q2 = Pq.shape[1]
+    qq = int(q2 ** 0.5)
+    p = qq - C - 1
+    deltas = jax.nn.sigmoid(logits)                      # (L,)
+    cvec = (1 - deltas) * rho
+    m = (1 - deltas)[:, None] * ((1 - rho)[:, None] * Lam[None]) \
+        + deltas[:, None]                                # (L, rB)
+    wm = 1.0 / m
+    i1 = 1.0 / deltas
+
+    Mi = (wm @ Pq).reshape(-1, qq, qq) + comp[None] * i1[:, None, None]
+
+    H = Mi[:, :C, :C]
+    hX = Mi[:, :C, C : C + p]
+    hy = Mi[:, :C, -1]
+    XmX = Mi[:, C : C + p, C : C + p]
+    Xmy = Mi[:, C : C + p, -1]
+    ymy = Mi[:, -1, -1]
+
+    cap = jnp.eye(C, dtype=Mi.dtype)[None] + cvec[:, None, None] * H
+    cap_chol = jnp.linalg.cholesky(cap)
+    sc = lambda B: jax.scipy.linalg.cho_solve((cap_chol, True), B)
+    hX_s = sc(hX)                                        # (L, C, p)
+    hy_s = sc(hy[..., None])[..., 0]                     # (L, C)
+    A = XmX - cvec[:, None, None] * jnp.einsum("kcp,kcq->kpq", hX, hX_s)
+    b = Xmy - cvec[:, None] * jnp.einsum("kcp,kc->kp", hX, hy_s)
+    yDy = ymy - cvec * jnp.einsum("kc,kc->k", hy, hy_s)
+    logdet_d = (
+        jnp.sum(jnp.log(m), axis=-1)
+        + (n - Lam.shape[0]) * jnp.log(deltas)
+        + 2 * jnp.sum(jnp.log(
+            jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
+    )
+
+    from ..ops.linalg import sym_pseudo_solve_and_logdet
+
+    beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None], rcond=rcond)
+    beta = beta[..., 0]
+    rss_raw = yDy - jnp.einsum("kp,kp->k", b, beta)
+    rss = jnp.maximum(rss_raw, jnp.finfo(b.dtype).tiny)
+    if restricted:
+        nu = n - p
+        lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
+                      + logdet_a - logdet_xx + nu)
+    else:
+        lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+    if b.dtype == jnp.float32:
+        # mask collapsed residuals / non-finite values out of the argmax
+        # (ADVICE.md round 1)
+        bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
+            | ~jnp.isfinite(lml)
+        lml = jnp.where(bad, -jnp.inf, lml)
+    if want_beta:
+        return lml, beta, rss
+    return lml
+
+
+def fit_delta_woodbury_family(cols, Gfull, Lam, rho_vec, n: int,
+                              restricted: bool, C: int,
+                              lo=-18.0, hi=18.0, n_grid=16,
+                              localize_f32: bool = False):
+    """Profiled fits for a whole rho grid sharing one pair-product tensor.
+
+    ``cols`` = [Ua | Ux | uy] (rB, q) rotated columns; ``Gfull`` (q, q) the
+    full-space Gram of [A | X | y].  Returns per-rho arrays
+    (lml, delta, beta (nrho, p), scale, v0, v1).
+
+    Replaces the per-rho :func:`fit_delta_woodbury` vmap in the betas
+    kernel: the coarse grid and every zoom round evaluate all
+    (rho, delta-grid) points in ONE batched GEMM family, the pair products
+    are built once per variant, and the capacitance Cholesky batches over
+    the full (rho x grid) axis.
+    """
+    dtype = cols.dtype
+    nrho = rho_vec.shape[0]
+    q = cols.shape[1]
+    p = q - C - 1
+    P = cols[:, :, None] * cols[:, None, :]              # (rB, q, q)
+    Pq = P.reshape(-1, q * q)
+    comp = Gfull - jnp.sum(P, axis=0)
+    if restricted:
+        from ..ops.linalg import sym_pseudo_logdet
+
+        ld_xx = sym_pseudo_logdet(Gfull[C : C + p, C : C + p])
+    else:
+        ld_xx = jnp.asarray(0.0, dtype)
+
+    use32 = bool(localize_f32) and dtype == jnp.float64
+    if use32:
+        Pq32 = Pq.astype(jnp.float32)
+        comp32 = comp.astype(jnp.float32)
+        Lam32 = Lam.astype(jnp.float32)
+        ld32 = ld_xx.astype(jnp.float32)
+
+    def family_vals(logits2d, f32_round):
+        """logits2d: (nrho, K) per-rho grids -> (nrho, K) lmls."""
+        K = logits2d.shape[1]
+        flat = logits2d.reshape(-1)
+        rho_flat = jnp.repeat(rho_vec, K)
+        if f32_round:
+            v = _woodbury_family_eval(
+                flat.astype(jnp.float32), rho_flat.astype(jnp.float32),
+                Pq32, comp32, Lam32, C, n, restricted, ld32, rcond=1e-6)
+            return v.reshape(nrho, K).astype(dtype)
+        v = _woodbury_family_eval(flat, rho_flat, Pq, comp, Lam, C, n,
+                                  restricted, ld_xx, rcond=1e-12)
+        return v.reshape(nrho, K)
+
+    grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
+    vals = family_vals(jnp.broadcast_to(grid, (nrho, n_grid)), use32)
+    k = jnp.argmax(vals, axis=-1)                        # (nrho,)
+    kpad = 2 if use32 else 1
+    a = grid[jnp.maximum(k - kpad, 0)]
+    bb = grid[jnp.minimum(k + kpad, n_grid - 1)]
+    if use32:
+        row_bad = jnp.all(~jnp.isfinite(vals), axis=-1)
+        a = jnp.where(row_bad, grid[0], a)
+        bb = jnp.where(row_bad, grid[-1], bb)
+
+    K2 = 16
+    t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
+    logits, kz = None, None
+    n_rounds = 5 if use32 else 4
+    for r in range(n_rounds):
+        f32_round = use32 and r == 0
+        logits = a[:, None] + (bb - a)[:, None] * t[None]    # (nrho, K2)
+        vals = family_vals(logits, f32_round)
+        kz = jnp.argmax(vals, axis=-1)
+        cell = (bb - a) / (K2 - 1)
+        center = a + cell * kz
+        pad = 2.0 if f32_round else 1.0
+        a_new = jnp.maximum(center - pad * cell, a)
+        bb_new = jnp.minimum(center + pad * cell, bb)
+        if f32_round:
+            row_bad = jnp.all(~jnp.isfinite(vals), axis=-1)
+            a_new = jnp.where(row_bad, a, a_new)
+            bb_new = jnp.where(row_bad, bb, bb_new)
+        a, bb = a_new, bb_new
+    km = jnp.clip(kz, 1, K2 - 2)
+    h = logits[:, 1] - logits[:, 0]                      # (nrho,)
+    take = lambda idx: jnp.take_along_axis(vals, idx[:, None], axis=1)[:, 0]
+    f0, f1, f2 = take(km - 1), take(km), take(km + 1)
+    denom = f0 - 2 * f1 + f2
+    step = jnp.where(denom < 0, 0.5 * h * (f0 - f2) / denom, 0.0)
+    x_star = jnp.take_along_axis(logits, km[:, None], axis=1)[:, 0] \
+        + jnp.clip(step, -h, h)
+
+    lml, beta, rss = _woodbury_family_eval(
+        x_star, rho_vec, Pq, comp, Lam, C, n, restricted, ld_xx,
+        rcond=1e-12, want_beta=True)
+    delta = jax.nn.sigmoid(x_star)
+    nu = (n - p) if restricted else n
+    scale = rss / nu
+    return lml, delta, beta, scale, scale * (1 - delta), scale * delta
 
 
 def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
@@ -468,6 +645,14 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
     kpad = 2 if use32 else 1
     a = grid[jnp.maximum(k - kpad, 0)]
     bb = grid[jnp.minimum(k + kpad, n_grid - 1)]
+    if use32:
+        # if every f32 grid value is non-finite (pathological f32 failure),
+        # keep the full [lo, hi] bracket so the later f64 rounds degrade to
+        # a plain f64 search instead of silently pinning the low edge
+        # (ADVICE.md round 1)
+        all_bad = jnp.all(~jnp.isfinite(vals))
+        a = jnp.where(all_bad, grid[0], a)
+        bb = jnp.where(all_bad, grid[-1], bb)
 
     K2 = 16
     t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
@@ -487,8 +672,14 @@ def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,
         # shift the argmax by a cell, and a noise-shrunk bracket that
         # excludes the true optimum would clamp every later f64 round
         pad = 2.0 if f32_round else 1.0
-        a = jnp.maximum(center - pad * cell, a)
-        bb = jnp.minimum(center + pad * cell, bb)
+        a_new = jnp.maximum(center - pad * cell, a)
+        bb_new = jnp.minimum(center + pad * cell, bb)
+        if f32_round:
+            # all-non-finite f32 round: keep the incoming bracket (see above)
+            all_bad = jnp.all(~jnp.isfinite(vals))
+            a_new = jnp.where(all_bad, a, a_new)
+            bb_new = jnp.where(all_bad, bb, bb_new)
+        a, bb = a_new, bb_new
     km = jnp.clip(kz, 1, K2 - 2)
     h = logits[1] - logits[0]
     f0, f1, f2 = vals[km - 1], vals[km], vals[km + 1]

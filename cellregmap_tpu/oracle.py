@@ -63,13 +63,22 @@ def fit_lmm_dense(y, X, Sigma, restricted):
 
     Dense eigendecomposition + scipy bounded scalar search over logit(delta).
     Returns dict with lml, delta, v0, v1, beta, scale.
+
+    Rank-deficient designs are reduced via economic SVD exactly like
+    glimix-core's LMM does (it fits on tX = U S and maps beta back through
+    V, the min-norm GLS solution) — without this, logdet(X^T D^{-1} X) of a
+    singular normal matrix contaminates the REML objective by O(1) noise
+    and the delta/rho argmaxes become numerically meaningless.
     """
     y = np.asarray(y, float).ravel()
     X = np.atleast_2d(np.asarray(X, float))
+    U, sv, Vt = np.linalg.svd(X, full_matrices=False)
+    keep = sv >= np.sqrt(np.finfo(float).eps)
+    tX = U[:, keep] * sv[keep]
     S_full, Q = eigh((Sigma + Sigma.T) / 2)
     S_full = np.maximum(S_full, 0.0)
     yt = Q.T @ y
-    Xt = Q.T @ X
+    Xt = Q.T @ tX
 
     def neg(logit):
         delta = 1.0 / (1.0 + np.exp(-logit))
@@ -85,7 +94,8 @@ def fit_lmm_dense(y, X, Sigma, restricted):
                           options={"xatol": 1e-12})
     logit = float(res.x)
     delta = 1.0 / (1.0 + np.exp(-logit))
-    lml, beta, scale = lmm_lml_components(delta, S_full, Xt, yt, restricted)
+    lml, beta_t, scale = lmm_lml_components(delta, S_full, Xt, yt, restricted)
+    beta = Vt[keep].T @ beta_t  # back to original coordinates (min-norm)
     return {
         "lml": float(lml),
         "delta": float(delta),
