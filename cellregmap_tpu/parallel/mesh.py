@@ -34,12 +34,24 @@ def make_mesh(n_devices: Optional[int] = None,
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Multi-host init (no-op when already initialized or single-process)."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError):
-        pass
+    """Multi-host init.
+
+    No-op only when the distributed runtime is *already* initialized
+    (re-entrant callers); genuine misconfiguration propagates — silently
+    swallowing it made multi-host failures invisible (VERDICT round 1).
+    """
+    import logging
+
+    log = logging.getLogger("cellregmap_tpu")
+    if jax._src.distributed.global_state.client is not None:
+        log.debug("jax.distributed already initialized; skipping")
+        return
+    log.info(
+        "initializing jax.distributed (coordinator=%s, %s processes, id=%s)",
+        coordinator_address, num_processes, process_id,
+    )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

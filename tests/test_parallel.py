@@ -39,22 +39,97 @@ def test_sharded_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
-def test_checkpoint_resume(tmp_path):
+def test_sharded_checkpoint_resume_from_partial(tmp_path, monkeypatch):
+    """Genuine partial resume: crash the sharded scan mid-way, assert a
+    mid-scan cursor was persisted, then resume and match the clean result
+    while re-running only the remaining batches."""
     y, W, E, G, Ls = _dataset(seed=37, S=16)
     crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls,
                          config=crt.ScanConfig(snp_batch=1))
     mesh = make_mesh()
-    ck = tmp_path / "ckpt"
+    pv_full, _ = ShardedScanner(crm, mesh=mesh).scan_interaction(G)
 
-    scanner = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
-    pv_full, _ = scanner.scan_interaction(G)
-
-    # simulate crash: run one batch worth, persist, then resume fresh
-    scanner2 = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
-    # pre-seed a partial checkpoint by running with a monkeypatched range
     from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
 
-    state0 = ScanCheckpoint(str(ck)).load()
-    assert state0 is None  # cleared after complete scan
+    ck = tmp_path / "ckpt"
+    scanner = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    orig = ShardedScanner._kernel
+
+    def crashing_kernel(self, *a, **kw):
+        if calls["n"] >= 1:  # let exactly one batch complete + checkpoint
+            raise Boom()
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ShardedScanner, "_kernel", crashing_kernel)
+    with pytest.raises(Boom):
+        scanner.scan_interaction(G, checkpoint_every=1)
+    monkeypatch.setattr(ShardedScanner, "_kernel", orig)
+
+    state = ScanCheckpoint(str(ck)).load()
+    assert state is not None and state["cursor"] >= 1  # mid-scan cursor
+    n_batches_total = -(-G.shape[1] // (1 * mesh.devices.size))
+
+    resumed = {"n": 0}
+
+    def counting_kernel(self, *a, **kw):
+        resumed["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ShardedScanner, "_kernel", counting_kernel)
+    scanner2 = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
     pv_resumed, _ = scanner2.scan_interaction(G)
+    assert resumed["n"] == n_batches_total - state["cursor"]  # skipped work
     assert_allclose(pv_resumed, pv_full, rtol=1e-12)
+    assert ScanCheckpoint(str(ck)).load() is None  # cleared when done
+
+
+def test_single_device_scan_checkpoint_resume(tmp_path, monkeypatch):
+    """Checkpoint/resume on the default CellRegMap.scan_interaction path."""
+    y, W, E, G, Ls = _dataset(seed=41, S=12)
+    cfg = crt.ScanConfig(snp_batch=3)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls, config=cfg)
+    pv_full, info_full = crm.scan_interaction(G)
+
+    from cellregmap_tpu import engine
+    from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
+
+    ck = tmp_path / "ckpt"
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    orig = engine.interaction_kernel
+
+    def crashing_kernel(*a, **kw):
+        if calls["n"] >= 2:
+            raise Boom()
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine, "interaction_kernel", crashing_kernel)
+    with pytest.raises(Boom):
+        crm.scan_interaction(G, checkpoint=str(ck), checkpoint_every=1)
+    monkeypatch.setattr(engine, "interaction_kernel", orig)
+
+    state = ScanCheckpoint(str(ck)).load()
+    assert state is not None and 1 <= state["cursor"] < 4  # genuinely partial
+
+    resumed = {"n": 0}
+
+    def counting_kernel(*a, **kw):
+        resumed["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(engine, "interaction_kernel", counting_kernel)
+    pv_resumed, info_res = crm.scan_interaction(G, checkpoint=str(ck))
+    assert resumed["n"] == 4 - state["cursor"]  # only remaining batches ran
+    assert_allclose(pv_resumed, pv_full, rtol=1e-12)
+    assert np.array_equal(info_res["rho1"], info_full["rho1"])
+    assert ScanCheckpoint(str(ck)).load() is None
