@@ -1,7 +1,11 @@
-"""Benchmark harness: interaction-scan throughput vs the CPU reference.
+"""Benchmark harness: north-star configs + roofline (BASELINE.json).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Prints ONE JSON line.  The headline metric stays the 2k-cell interaction
+scan (continuity with round 1); the BASELINE.json north-star configs are
+nested under "configs": 10k cells x 5k pairs (MOFA-style E), 50k cells
+(100k-pair scan, measured batch extrapolated), estimate_betas, C = 50
+contexts, plus null-model fits/sec and an HBM-roofline estimate for the
+steady-state kernel.
 
 Baseline: the reference publishes no numbers (SURVEY.md section 6) and the
 pip package is unavailable here, so the baseline is measured from
@@ -10,11 +14,13 @@ re-implementation of the reference's computational pattern (per-rho economic
 QS setup, per-SNP serial loop of 11 REML fits via scipy scalar search,
 matrix-free score pass, Davies p-value) running on host CPU/BLAS.
 
-Engine: the batched device kernel (steady-state, compile excluded),
-p-values included per the configured ladder.
+Timing note: on the remote-TPU (axon) backend ``block_until_ready`` does
+not reliably fence execution; every timed section here forces a
+``device_get`` of a result leaf.
 
-Env knobs: BENCH_CELLS, BENCH_CONTEXTS, BENCH_DONORS, BENCH_SNPS,
-BENCH_BATCH, BENCH_BASELINE_SNPS, BENCH_PVALUE (davies|saddlepoint|liu).
+Env knobs: BENCH_MODE=headline|full (default full), BENCH_CELLS,
+BENCH_CONTEXTS, BENCH_DONORS, BENCH_SNPS, BENCH_BATCH, BENCH_BASELINE_SNPS,
+BENCH_PVALUE (davies|saddlepoint|liu).
 """
 import json
 import os
@@ -23,32 +29,23 @@ import time
 
 import numpy as np
 
+HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
+F64_BYTES = 8
+
 
 def env_int(name, default):
     return int(os.environ.get(name, default))
 
 
-def main():
-    n_cells = env_int("BENCH_CELLS", 2000)
-    n_contexts = env_int("BENCH_CONTEXTS", 10)
-    n_donors = env_int("BENCH_DONORS", 100)
-    n_snps = env_int("BENCH_SNPS", 2048)
-    batch = env_int("BENCH_BATCH", 512)
-    baseline_snps = env_int("BENCH_BASELINE_SNPS", 6)
-    pvalue_method = os.environ.get("BENCH_PVALUE", "davies")
-
-    import jax
-
+def make_dataset(n_cells, n_contexts, n_donors, n_snps, seed=0,
+                 gxe_snp=7):
     import cellregmap_tpu as crt
-    from cellregmap_tpu import oracle
 
-    backend = jax.default_backend()
-
-    # ---- synthetic dataset (BASELINE.json config family) ----
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     E = rng.normal(size=(n_cells, n_contexts)) / np.sqrt(n_contexts)
     W = np.ones((n_cells, 1))
-    donor_of = np.repeat(np.arange(n_donors), -(-n_cells // n_donors))[:n_cells]
+    donor_of = np.repeat(np.arange(n_donors),
+                         -(-n_cells // n_donors))[:n_cells]
     hK = np.zeros((n_cells, n_donors))
     hK[np.arange(n_cells), donor_of] = 1.0
     Ls = [np.asarray(L) for L in crt.get_L_values(hK, E)]
@@ -60,74 +57,206 @@ def main():
         rng.normal(size=n_cells)
         + 0.5 * E @ rng.normal(size=n_contexts)
         + 0.4 * hK @ rng.normal(size=n_donors)
-        + 0.2 * G[:, 7] * E[:, 0] * np.sqrt(n_contexts)
+        + 0.2 * G[:, gxe_snp] * E[:, 0] * np.sqrt(n_contexts)
     )
+    return dict(y=y, W=W, E=E, Ls=Ls, G=G, maf=maf)
 
-    # ---- baseline: reference-style serial CPU scan on a few SNPs ----
-    # (BENCH_BASELINE_SNPS=0 skips it: at large n the serial oracle takes
-    # minutes per SNP, and the scale runs only need engine numbers)
-    if baseline_snps > 0:
-        t0 = time.perf_counter()
-        pv_base, _ = oracle.scan_interaction_reference_style(
-            y, W, E, Ls=Ls, G=G[:, :baseline_snps]
-        )
-        t_base = time.perf_counter() - t0
-        baseline_tps = baseline_snps / t_base
-    else:
-        pv_base, baseline_tps = None, None
 
-    # ---- engine ----
-    cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)
+def interaction_metrics(crm, G, pvalue_method):
+    """Scan timing (compile excluded) + per-batch kernel cost."""
+    n_snps = G.shape[1]
+    # warmup/compile on the first batch
     t0 = time.perf_counter()
-    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls, config=cfg)
-    t_setup = time.perf_counter() - t0
-
-    # warmup / compile on the first batch
-    t0 = time.perf_counter()
-    crm.scan_interaction(G[:, :batch])
+    crm.scan_interaction(G[:, : min(crm._cfg.snp_batch, n_snps)])
     t_compile = time.perf_counter() - t0
-
-    # steady state over the full scan
     t0 = time.perf_counter()
     pv, info = crm.scan_interaction(G)
     t_scan = time.perf_counter() - t0
-    engine_tps = n_snps / t_scan
+    return {
+        "tests_per_sec": round(n_snps / t_scan, 2),
+        "scan_s": round(t_scan, 3),
+        "compile_plus_first_batch_s": round(t_compile, 2),
+        "n_snps": n_snps,
+        "pvalue_method": pvalue_method,
+    }, pv, info
 
-    # phase breakdown: device kernel alone vs host Davies pass
+
+def roofline_estimate(n, C, R, nrho, S, t_kernel):
+    """Arithmetic-intensity / bandwidth statement for one kernel batch.
+
+    Minimum HBM traffic per batch (f64): read the genotype batch (n S),
+    the Khatri-Rao intermediate written + read (2 n C S), the basis Z
+    (n R), the per-rho eigenvectors V (nrho R^2, read at least twice: data
+    rotations + score-factor rotation), the rotated per-rho families
+    (~6 tensors of nrho R S, written + read), and the best-rho score factor
+    (S R C, written + read).  FLOPs: the dominant MXU contractions
+    (Khatri-Rao rotate 2 n R C S, data rotations 2 nrho R^2 S, score-factor
+    rotation 2 nrho R^2 C S, score pass ~2 S R C(C + 3)).
+    """
+    bytes_min = F64_BYTES * (
+        n * S + 2 * n * C * S + n * R + 2 * nrho * R * R
+        + 12 * nrho * R * S + 2 * S * R * C
+    )
+    flops = (
+        2 * n * R * C * S + 2 * nrho * R * R * S
+        + 2 * nrho * R * R * C * S + 2 * S * R * C * (C + 3)
+    )
+    gbps = bytes_min / t_kernel / 1e9
+    return {
+        "kernel_s_per_batch": round(t_kernel, 4),
+        "batch": S,
+        "min_hbm_bytes_per_batch": int(bytes_min),
+        "achieved_gbps_lower_bound": round(gbps, 1),
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+        "hbm_fraction": round(gbps / HBM_PEAK_GBPS, 3),
+        "flops_per_batch": int(flops),
+        "achieved_tflops": round(flops / t_kernel / 1e12, 2),
+        "arithmetic_intensity_flop_per_byte": round(flops / bytes_min, 1),
+    }
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "full")
+    n_cells = env_int("BENCH_CELLS", 2000)
+    n_contexts = env_int("BENCH_CONTEXTS", 10)
+    n_donors = env_int("BENCH_DONORS", 100)
+    n_snps = env_int("BENCH_SNPS", 2048)
+    batch = env_int("BENCH_BATCH", 512)
+    baseline_snps = env_int("BENCH_BASELINE_SNPS", 6)
+    pvalue_method = os.environ.get("BENCH_PVALUE", "davies")
+
+    import jax
     import jax.numpy as jnp
-    from cellregmap_tpu import engine
+
+    import cellregmap_tpu as crt
+    from cellregmap_tpu import engine, oracle
     from cellregmap_tpu.models import pvalues as pv_mod
 
+    backend = jax.default_backend()
+
+    # ---- headline config (2k cells; round-1 continuity) ----
+    d = make_dataset(n_cells, n_contexts, n_donors, n_snps)
+
+    if baseline_snps > 0:
+        t0 = time.perf_counter()
+        pv_base, _ = oracle.scan_interaction_reference_style(
+            d["y"], d["W"], d["E"], Ls=d["Ls"], G=d["G"][:, :baseline_snps]
+        )
+        baseline_tps = baseline_snps / (time.perf_counter() - t0)
+    else:
+        pv_base, baseline_tps = None, None
+
+    cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)
+    t0 = time.perf_counter()
+    crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"],
+                         config=cfg)
+    t_setup = time.perf_counter() - t0
+    head, pv, info = interaction_metrics(crm, d["G"], pvalue_method)
+
+    max_abs_diff = (
+        float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
+        if pv_base is not None else None
+    )
+
+    # per-batch device-kernel cost (device_get-forced)
     eff_batch = min(batch, crm._auto_batch_cap(), n_snps)
-    gb = jnp.asarray(G[:, :eff_batch], crm._dtype)
+    gb = jnp.asarray(d["G"][:, :eff_batch], crm._dtype)
     delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                  cfg.n_delta_grid_interaction, cfg.n_golden_iters)
     out = engine.interaction_kernel(crm._ctx, gb, gb, n_cells,
                                     delta_cfg=delta_cfg)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
-    for _ in range(3):
+    reps = 3
+    for _ in range(reps):
         out = engine.interaction_kernel(crm._ctx, gb, gb, n_cells,
                                         delta_cfg=delta_cfg)
-        jax.block_until_ready(out)
-    t_kernel = (time.perf_counter() - t0) / 3
+        jax.device_get(jax.tree.leaves(out)[0])
+    t_kernel = (time.perf_counter() - t0) / reps
     t0 = time.perf_counter()
     pv_mod.davies_pvalue_batch(np.asarray(out["Q"]),
                                np.asarray(out["lambdas"]),
                                lim=cfg.davies_lim, acc=cfg.davies_acc)
     t_davies = time.perf_counter() - t0
 
-    # parity on the baseline subset
-    max_abs_diff = (
-        float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
-        if pv_base is not None else None
-    )
+    R = int(crm._ctx.S.shape[1])
+    nrho = int(crm._ctx.S.shape[0])
+    roof = roofline_estimate(n_cells, n_contexts, R, nrho, eff_batch,
+                             t_kernel)
+    # every variant runs nrho REML fits (grid + Newton); the kernel is the
+    # only place fits happen, so fits/sec = kernel tests/sec * nrho
+    null_fits_per_sec = round(eff_batch * nrho / t_kernel, 1)
+
+    configs = {}
+
+    def _try(name, fn):
+        try:
+            t0 = time.perf_counter()
+            configs[name] = fn()
+            configs[name]["total_s"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:  # record, don't die
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    if mode == "full":
+        def _cells10k():
+            dd = make_dataset(10_000, 20, 125, 5120, seed=1)
+            cc = crt.CellRegMap(y=dd["y"], E=dd["E"], W=dd["W"],
+                                Ls=dd["Ls"], config=cfg)
+            m, _, _ = interaction_metrics(cc, dd["G"], pvalue_method)
+            m["n_cells"], m["n_contexts"], m["R"] = 10_000, 20, int(
+                cc._ctx.S.shape[1])
+            return m
+
+        def _cells50k():
+            dd = make_dataset(50_000, 10, 400, 512, seed=2)
+            cc = crt.CellRegMap(y=dd["y"], E=dd["E"], W=dd["W"],
+                                Ls=dd["Ls"], config=cfg)
+            m, _, _ = interaction_metrics(cc, dd["G"], pvalue_method)
+            m["n_cells"], m["R"] = 50_000, int(cc._ctx.S.shape[1])
+            m["extrapolated_100k_pairs_hours"] = round(
+                100_000 / m["tests_per_sec"] / 3600, 3)
+            return m
+
+        def _betas2k():
+            nb = 512
+            t0 = time.perf_counter()
+            crm.predict_interaction(d["G"][:, :64], d["maf"][:64])
+            tc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            crm.predict_interaction(d["G"][:, :nb], d["maf"][:nb])
+            dt = time.perf_counter() - t0
+            return {"variants_per_sec": round(nb / dt, 2),
+                    "compile_plus_first_s": round(tc, 1)}
+
+        def _betas100k():
+            dd = make_dataset(100_000, 10, 200, 128, seed=3)
+            cc = crt.CellRegMap(y=dd["y"], E=dd["E"], W=dd["W"],
+                                Ls=dd["Ls"], config=cfg)
+            t0 = time.perf_counter()
+            cc.predict_interaction(dd["G"], dd["maf"])
+            dt = time.perf_counter() - t0
+            return {"variants_per_sec_incl_compile": round(128 / dt, 3),
+                    "n_cells": 100_000}
+
+        def _c50():
+            dd = make_dataset(2000, 50, 100, 1024, seed=4)
+            cc = crt.CellRegMap(y=dd["y"], E=dd["E"], W=dd["W"],
+                                Ls=dd["Ls"], config=cfg)
+            m, _, _ = interaction_metrics(cc, dd["G"], pvalue_method)
+            m["n_contexts"], m["R"] = 50, int(cc._ctx.S.shape[1])
+            return m
+
+        _try("cells10k_pairs5k", _cells10k)
+        _try("cells50k_pairs100k", _cells50k)
+        _try("betas_2k", _betas2k)
+        _try("betas_100k_stretch", _betas100k)
+        _try("contexts50", _c50)
 
     result = {
         "metric": "interaction_tests_per_sec",
-        "value": round(engine_tps, 3),
+        "value": head["tests_per_sec"],
         "unit": "tests/s",
-        "vs_baseline": (round(engine_tps / baseline_tps, 2)
+        "vs_baseline": (round(head["tests_per_sec"] / baseline_tps, 2)
                         if baseline_tps else None),
         "baseline_tests_per_sec": (round(baseline_tps, 4)
                                    if baseline_tps else None),
@@ -139,11 +268,14 @@ def main():
             "pvalue_method": pvalue_method,
         },
         "setup_s": round(t_setup, 2),
-        "compile_s": round(t_compile, 2),
-        "scan_s": round(t_scan, 2),
+        "compile_s": head["compile_plus_first_batch_s"],
+        "scan_s": head["scan_s"],
         "kernel_s_per_batch": round(t_kernel, 3),
         "kernel_tests_per_sec": round(eff_batch / t_kernel, 1),
         "davies_s_per_batch": round(t_davies, 3),
+        "null_fits_per_sec": null_fits_per_sec,
+        "roofline": roof,
+        "configs": configs,
     }
     print(json.dumps(result))
 

@@ -72,9 +72,14 @@ class ScanConfig:
     lambda_filter_ratio: float = 1e5
     dtype: str = "float64"
     # Hybrid precision: localize the REML optimum (coarse grid + first
-    # Newton iterations) in f32 — TPU f64 is software-emulated and ~4-6x
-    # slower — then converge with f64 Newton at the best rho and keep all
-    # score/statistics math f64.  Disable for a full-f64 audit run.
+    # Newton/zoom iterations) in f32 — f64 matmul is the TPU throughput
+    # ceiling, ~10x slower than f32 — then converge in f64 and keep all
+    # score/statistics math f64.  The interaction path restores full-f64
+    # p-value equality (tests/test_hybrid.py pins 1e-9); the betas path
+    # resolves each per-rho optimum to the f32 noise floor, so rho
+    # argmaxes at ties flatter than ~1e-4 lml may differ from a full-f64
+    # run (the fits themselves agree to ~1e-7).  Disable for exact-argmax
+    # audit runs.
     hybrid_localization: bool = True
     # p-value clipping used by lrt_pvalues (reference clips to
     # [epsilon.super_tiny, 1 - epsilon.tiny], _cellregmap.py:467-469).

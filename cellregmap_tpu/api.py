@@ -260,19 +260,41 @@ class CellRegMap:
                                for k, v in timers.summary().items()})
         return np.asarray(pvalues, float), info
 
-    def _auto_batch_cap(self) -> int:
-        """Variant-batch cap keeping the kernel's temporaries within HBM.
+    def _auto_batch_cap(self, kind: str = "interaction") -> int:
+        """Variant-batch cap keeping a kernel's temporaries within HBM.
 
         Per-variant HBM (TPU stores f64 at 32 B/element — f32 limbs plus
-        tile padding): the (n_rho, R, batch) rotated-genotype family
-        (Gt/GY/G2/GW + the stage-2 weight tensors, ~8 live f64 copies) and
-        the best-rho score factor (R, C) at ~3 copies.  Budget ~5 GB on a
-        16 GB chip.
+        tile padding).  ``interaction``: the (n_rho, R, batch)
+        rotated-genotype family (Gt/GY/G2/GW + the stage-2 weight tensors,
+        ~8 live f64 copies), the best-rho score factor (R, C) at ~3 copies,
+        and the (n, C, batch) Khatri-Rao intermediates (~3 copies).
+        ``association``: the per-variant delta grid materializes
+        (batch, K, R) weighted intermediates (~6 copies).  ``betas``: the
+        Khatri-Rao rotate plus the per-variant pair-product tensor
+        (Rk, q^2) and the (n_rho x 16)-point family grids over Rk.
+        Budget ~5 GB on a 16 GB chip.
         """
         R = int(self._ctx.S.shape[1])
         nrho = int(self._ctx.S.shape[0])
         C = int(self._ctx.E0.shape[1])
-        per_variant = nrho * max(R, 1) * 32 * 8 + max(R, 1) * max(C, 1) * 96
+        n = self._n
+        p = int(self._W.shape[1])
+        if kind == "interaction":
+            per_variant = (nrho * max(R, 1) * 32 * 8
+                           + max(R, 1) * max(C, 1) * 96
+                           + n * (C + p) * 8 * 3)
+        elif kind == "association":
+            K = int(self._cfg.n_delta_grid)
+            per_variant = K * max(R, 1) * 8 * 6 + n * 8 * 2
+        elif kind == "betas":
+            Rk = max(R - C, 1)  # background factor width
+            q = C + p + C + 2   # [A | B, g | y] columns (pB <= p + C)
+            # colsS (S, Rk, q) in f64 + f32 plus the chunk-scanned weighted
+            # columns (bounded at ~250 MB inside the family evaluator) and
+            # the (n, C, S) Khatri-Rao intermediates
+            per_variant = Rk * q * 8 * 4 + n * C * 8 * 2
+        else:  # pragma: no cover - defensive
+            raise ValueError(kind)
         cap = int(5e9 / per_variant)
         return max(16, cap)
 
@@ -342,7 +364,8 @@ class CellRegMap:
                      cfg.n_delta_grid, cfg.n_golden_iters)
         # the per-variant refit still vmaps its delta grid; cap the batch so
         # O(batch * K * R) intermediates stay within HBM
-        batch = min(cfg.snp_batch, 128, max(G.shape[1], 1))
+        batch = min(cfg.snp_batch, self._auto_batch_cap("association"),
+                    max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
@@ -407,7 +430,8 @@ class CellRegMap:
         # (batch, n_rho, K) small-matrix tensors for no accuracy gain.
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      min(16, cfg.n_delta_grid), cfg.n_golden_iters)
-        batch = min(cfg.snp_batch, 64, max(G.shape[1], 1))
+        batch = min(cfg.snp_batch, self._auto_batch_cap("betas"),
+                    max(G.shape[1], 1))
         Gp, n_snps = _pad_batch(G, batch)
         normp = np.concatenate([norm, np.repeat(norm[:1],
                                                 Gp.shape[1] - len(norm))])

@@ -198,6 +198,30 @@ def score_test_core(Sb, Xt, yt, At, XX, Xy, AX, ay, AtA, v0, v1):
     return Q, Wmat
 
 
+def _rotate_at_best_rho(T, V, k_best, max_chunk: int = 16):
+    """At[s] = V[k_best[s]]^T @ T[:, :, s]^T  ->  (S, R, C).
+
+    Chunked gather-then-batched-matmul: the (chunk, R, R) gathered
+    eigenvector slab bounds memory; total matmul work is S R^2 C — nrho x
+    less than rotating T at every rho and masking by a one-hot.
+    """
+    C, R, S = T.shape
+    Tt = T.transpose(2, 1, 0)                                   # (S, R, C)
+    chunk = max_chunk
+    while S % chunk:
+        chunk //= 2
+    chunk = max(chunk, 1)
+
+    def body(_, idx):
+        ks = jax.lax.dynamic_slice_in_dim(k_best, idx, chunk)
+        Vc = jnp.take(V, ks, axis=0)                            # (b, R, R)
+        Tc = jax.lax.dynamic_slice_in_dim(Tt, idx, chunk, axis=0)
+        return None, jnp.einsum("brq,brc->bqc", Vc, Tc)
+
+    _, out = jax.lax.scan(body, None, jnp.arange(0, S, chunk))
+    return out.reshape(S, R, C)
+
+
 def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
                   delta_cfg):
     """REML/ML fits over the rho grid for one problem; returns per-rho fits.
@@ -541,15 +565,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # --- stage 3: f64 Newton at each variant's best rho only --------------
     O_k = jax.nn.one_hot(k_best, ctx.S.shape[0], dtype=f64)     # (S, nrho)
 
-    # rotate the score factor T at the best rho only, as a masked
-    # accumulation over the (static, small) rho grid: the all-rho tensor
-    # (nrho, R, C, S) would be the scan's largest allocation by far
-    # (tens of GB at production sizes)
-    nrho_s = ctx.S.shape[0]
-    At_all = jnp.zeros((T.shape[2], T.shape[1], T.shape[0]), f64)  # (S, R, C)
-    for o in range(nrho_s):
-        To = jnp.einsum("rq,crs->sqc", ctx.V[o], T)             # (S, R, C)
-        At_all = At_all + O_k[:, o][:, None, None] * To
+    # rotate the score factor T at the best rho only, via a chunked gather
+    # of each variant's V[k] plus a batched matmul: S R^2 C flops total,
+    # nrho x less f64 matmul work than rotating at every rho and masking
+    # (the f64 matmul ceiling is the kernel's roofline), and the V gather
+    # traffic (S R^2 words) rides HBM bandwidth.  Chunking bounds the
+    # gathered (chunk, R, R) eigenvector slab.
+    At_all = _rotate_at_best_rho(T, ctx.V, k_best)              # (S, R, C)
     gather_o = lambda t: jnp.einsum("so,or->sr", O_k, t)        # (S, R)
     gather_s = lambda t: jnp.einsum("so,ors->sr", O_k, t)       # (S, R)
     TS_k = dict(
@@ -765,8 +787,10 @@ class BetasContext(NamedTuple):
     y: jax.Array       # (n,)
     B: jax.Array       # (n, pB) reduced design basis of [W, E0]
     E0: jax.Array      # (n, C)
-    Zk: jax.Array      # (n, Rk) basis of the background factors
-    Vk: jax.Array      # (Rk, Rk)
+    Zk: jax.Array      # (n, Rk) EIGEN-basis of the background (Vk folded
+    #                     in at setup: Zk diag(Lam) Zk^T = sum_i L_i L_i^T,
+    #                     so per-variant rotations come straight out of the
+    #                     Khatri-Rao matmul with no extra Rk^2 rotation)
     Lam: jax.Array     # (Rk,)
     rho: jax.Array     # (n_rho,)
     uy: jax.Array      # (Rk,)  U^T y
@@ -805,19 +829,19 @@ def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
         Zk_np, Rk_np = _np.linalg.qr(F, mode="reduced")
         Lam_np, Vk_np = _np.linalg.eigh(Rk_np @ Rk_np.T)
         Lam_np = _np.maximum(Lam_np, 0.0)
+        Zk_np = Zk_np @ Vk_np  # fold the eigenbasis into Zk (see above)
     else:
         # Degenerate background (reference still runs: hSigma_p = sqrt(rho) gE
         # only, _cellregmap.py:164-166).
         Zk_np = _np.zeros((n, 1))
-        Vk_np = _np.eye(1)
         Lam_np = _np.zeros((1,))
     if rho_grid is None:
         rho_grid = _np.linspace(0.0, 1.0, 11)
     rho_np = _np.asarray(jax.device_get(rho_grid), float)
-    U_T = lambda M: Vk_np.T @ (Zk_np.T @ M)
+    U_T = lambda M: Zk_np.T @ M
     j = lambda a: jnp.asarray(a, dtype)
     return BetasContext(
-        y=j(y_np), B=j(B_np), E0=j(E0_np), Zk=j(Zk_np), Vk=j(Vk_np),
+        y=j(y_np), B=j(B_np), E0=j(E0_np), Zk=j(Zk_np),
         Lam=j(Lam_np), rho=j(rho_np),
         uy=j(U_T(y_np)), UB=j(U_T(B_np)),
         BB=j(B_np.T @ B_np), By=j(B_np.T @ y_np), yy=j(y_np @ y_np),
@@ -844,11 +868,14 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
     B, E0, y = ctx.B, ctx.E0, ctx.y
     pB = B.shape[1]
     C = E0.shape[1]
+    S = G.shape[1]
     lo, hi, n_grid, n_iters = delta_cfg
 
-    # Heavy contractions, once per batch.
-    Tk = _khatri_rao_rotate(ctx.Zk, E0, G)           # (C, Rk', S) pre-Vk
-    ZkG = ctx.Zk.T @ G                               # (Rk', S)
+    # Heavy contractions, once per batch.  Zk is already the background
+    # eigenbasis (Vk folded in at setup), so the Khatri-Rao rotate IS the
+    # per-variant Ua — no extra Rk^2 rotation per variant.
+    Tk = _khatri_rao_rotate(ctx.Zk, E0, G)           # (C, Rk, S) = Ua^T
+    ZkG = ctx.Zk.T @ G                               # (Rk, S) = ug
     M2 = _e0_weighted_grams(E0, G * G)               # (C, C, S)  A^T A
     AB = _cross_weighted_grams(E0, B, G)             # (C, pB, S)  A^T B
     ay = E0.T @ (G * y[:, None])                     # (C, S)
@@ -857,56 +884,71 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
     gg = jnp.sum(G * G, axis=0)
     gy = G.T @ y
 
-    def per_snp(t, zkg, m2, ab, ay_s, ag2, bg, gg_s, gy_s, norm_s):
-        Ua = ctx.Vk.T @ t.T                          # (Rk, C)
-        ug = ctx.Vk.T @ zkg                          # (Rk,)
-        Ux = jnp.concatenate([ctx.UB, ug[:, None]], axis=1)  # (Rk, pB+1)
-        # design grams: D = [B, g]
+    # batched rotated columns [Ua | UB, ug | uy]: (S, Rk, q)
+    Rk = ctx.Lam.shape[0]
+    q = C + pB + 2
+    UaS = Tk.transpose(2, 1, 0)                      # (S, Rk, C)
+    colsS = jnp.concatenate([
+        UaS,
+        jnp.broadcast_to(ctx.UB[None], (S, Rk, pB)),
+        ZkG.T[:, :, None],
+        jnp.broadcast_to(ctx.uy[None, :, None], (S, Rk, 1)),
+    ], axis=2)
+
+    # batched full-space Grams of [A | B, g | y]: (S, q, q)
+    def gram_snp(m2, ab, ay_s, ag2, bg, gg_s, gy_s):
         xx = jnp.block([
             [ctx.BB, bg[:, None]],
             [bg[None, :], gg_s[None, None]],
         ])
         xy = jnp.concatenate([ctx.By, gy_s[None]])
-        # A^T design columns: [A^T B, A^T g]
         Ax = jnp.concatenate([ab, ag2[:, None]], axis=1)
+        return jnp.block([
+            [m2, Ax, ay_s[:, None]],
+            [Ax.T, xx, xy[:, None]],
+            [ay_s[None, :], xy[None, :], ctx.yy[None, None]],
+        ])
 
-        def fit_rho(rho):
-            data = lmm_mod.WoodburyData(
-                Lam=ctx.Lam, Ua=Ua, Ux=Ux, uy=ctx.uy,
-                Aa=m2, Ax=Ax, ay=ay_s,
-                xx=xx, xy=xy, yy=ctx.yy, rho=rho,
-            )
-            return lmm_mod.fit_delta_woodbury(data, n, True, lo, hi, n_grid,
-                                              n_iters,
-                                              localize_f32=localize_f32)
+    GfullS = jax.vmap(gram_snp, in_axes=(2, 2, 1, 1, 1, 0, 0))(
+        M2, AB, ay, Ag2, Bg, gg, gy)
 
-        fits = jax.vmap(fit_rho)(ctx.rho)
-        k = jnp.argmax(fits.lml)
-        take = lambda a: jnp.take(a, k, axis=0)
-        rho1 = jnp.take(ctx.rho, k)
-        delta = take(fits.delta)
-        beta = take(fits.beta)
-        v0 = take(fits.v0)
-        v1 = take(fits.v1)
-        scale = take(fits.scale)
+    lml_r, delta_r, beta_r, scale_r, v0_r, v1_r = \
+        lmm_mod.fit_delta_woodbury_family(
+            colsS, GfullS, ctx.Lam, ctx.rho, n, True, C,
+            lo, hi, n_grid, localize_f32=localize_f32)   # each (S, nrho, ..)
 
-        beta_g = beta[pB]  # the g coefficient (last design column)
+    k = jnp.argmax(lml_r, axis=-1)                       # (S,)
+    take = lambda a: jnp.take_along_axis(
+        a, k.reshape((S,) + (1,) * (a.ndim - 1)), axis=1).reshape(
+            (S,) + a.shape[2:])
+    rho1 = jnp.take(ctx.rho, k)                          # (S,)
+    delta = take(delta_r)
+    beta = take(beta_r)                                  # (S, pB+1)
+    v0 = take(v0_r)
+    v1 = take(v1_r)
+    scale = take(scale_r)
+    lml = take(lml_r)
 
-        # v = (v0 Sigma_p + v1 I)^{-1} (y - M beta) = D^{-1} r / scale
-        c = (1 - delta) * rho1
-        m = (1 - delta) * (1 - rho1) * ctx.Lam + delta
+    beta_g = beta[:, pB]  # the g coefficient (last design column)
+
+    # v = (v0 Sigma_p + v1 I)^{-1} (y - M beta) = D^{-1} r / scale
+    def per_snp_alpha(cols_s, m2, ay_s, ag2, ab, rho1_s, delta_s, v0_s,
+                      scale_s, beta_s, norm_s):
+        Ua = cols_s[:, :C]                           # (Rk, C)
+        Ux = cols_s[:, C : C + pB + 1]               # (Rk, pB+1)
+        Ax = jnp.concatenate([ab, ag2[:, None]], axis=1)
+        c = (1 - delta_s) * rho1_s
+        m = (1 - delta_s) * (1 - rho1_s) * ctx.Lam + delta_s
         wm = 1.0 / m
-        ur = ctx.uy - Ux @ beta                       # (Rk,)
-        ar = ay_s - Ax @ beta                         # (C,)
-        # A^T M^{-1} r and A^T M^{-1} A
-        AmR = Ua.T @ (ur * wm) + (ar - Ua.T @ ur) / delta
-        H = Ua.T @ (Ua * wm[:, None]) + (m2 - Ua.T @ Ua) / delta
+        ur = ctx.uy - Ux @ beta_s                     # (Rk,)
+        ar = ay_s - Ax @ beta_s                       # (C,)
+        AmR = Ua.T @ (ur * wm) + (ar - Ua.T @ ur) / delta_s
+        H = Ua.T @ (Ua * wm[:, None]) + (m2 - Ua.T @ Ua) / delta_s
         cap = jnp.eye(C, dtype=m2.dtype) + c * H
         AdR = AmR - c * H @ spd_solve(cap, AmR)
-        alpha = (v0 * rho1) * AdR / scale * norm_s    # (C,)
-        return beta_g, alpha, rho1, v0, v1, take(fits.lml)
+        return (v0_s * rho1_s) * AdR / scale_s * norm_s   # (C,)
 
-    beta_g, alpha, rho1, v0, v1, lml = jax.vmap(
-        per_snp, in_axes=(2, 1, 2, 2, 1, 1, 1, 0, 0, 0)
-    )(Tk, ZkG, M2, AB, ay, Ag2, Bg, gg, gy, norm)
+    alpha = jax.vmap(per_snp_alpha,
+                     in_axes=(0, 2, 1, 1, 2, 0, 0, 0, 0, 0, 0))(
+        colsS, M2, ay, Ag2, AB, rho1, delta, v0, scale, beta, norm)
     return beta_g, alpha.T, {"rho1": rho1, "v0": v0, "v1": v1, "lml": lml}

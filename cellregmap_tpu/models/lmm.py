@@ -431,128 +431,160 @@ def lml_grid_woodbury(logits, data: WoodburyData, n: int, restricted: bool,
     return lml
 
 
-def _woodbury_family_eval(logits, rho, Pq, comp, Lam, C, n, restricted,
-                          logdet_xx, rcond, want_beta=False):
-    """lml (and optionally beta/rss) at paired (logit, rho) points sharing
-    one pair-product tensor.
+def _family_eval_batch(logits, rho, colsS, compS, Lam, C, n, restricted,
+                       logdet_xxS, rcond, want_beta=False):
+    """lml (and optionally beta/rss) at per-variant (logit, rho) points.
 
-    ``Pq``: (rB, q*q) flattened pair products of cols = [Ua | Ux | uy] —
-    *independent of both rho and delta*, so a whole (rho x delta) family is
-    one (L, rB) @ (rB, q*q) GEMM (VERDICT round-1 item 6: the previous
-    per-rho evaluator rebuilt P eleven times per variant).
-    ``comp``: (q, q) complement Gram ``Gfull - sum_r P_r``.
+    ``logits``/``rho``: (S, L) paired points per variant.  ``colsS``:
+    (S, rB, q) rotated columns [Ua | Ux | uy] per variant — independent of
+    both rho and delta.  ``compS``: (S, q, q) complement Grams
+    ``Gfull - cols^T cols``.  The rB contraction for a chunk of points is
+    one batched GEMM over weighted columns; a `lax.scan` over point chunks
+    keeps the peak intermediate at (S, chunk, rB, q) instead of the
+    (S, rB, q^2) pair-product tensor that OOMed (VERDICT round-1 item 6).
     """
-    q2 = Pq.shape[1]
-    qq = int(q2 ** 0.5)
-    p = qq - C - 1
-    deltas = jax.nn.sigmoid(logits)                      # (L,)
-    cvec = (1 - deltas) * rho
-    m = (1 - deltas)[:, None] * ((1 - rho)[:, None] * Lam[None]) \
-        + deltas[:, None]                                # (L, rB)
-    wm = 1.0 / m
-    i1 = 1.0 / deltas
+    S_, rB, q = colsS.shape
+    L = logits.shape[1]
+    p = q - C - 1
+    dt = colsS.dtype
 
-    Mi = (wm @ Pq).reshape(-1, qq, qq) + comp[None] * i1[:, None, None]
+    # chunk size: keep the (S, chunk, rB, q) weighted-columns intermediate
+    # around ~256 MB
+    itemsize = 4 if dt == jnp.float32 else 8
+    chunk = max(1, min(L, int(2.5e8 / max(S_ * rB * q * itemsize, 1))))
+    Lpad = -(-L // chunk) * chunk
+    pad = Lpad - L
+    if pad:
+        logits = jnp.concatenate(
+            [logits, jnp.broadcast_to(logits[:, -1:], (S_, pad))], axis=1)
+        rho = jnp.concatenate(
+            [rho, jnp.broadcast_to(rho[:, -1:], (S_, pad))], axis=1)
 
-    H = Mi[:, :C, :C]
-    hX = Mi[:, :C, C : C + p]
-    hy = Mi[:, :C, -1]
-    XmX = Mi[:, C : C + p, C : C + p]
-    Xmy = Mi[:, C : C + p, -1]
-    ymy = Mi[:, -1, -1]
+    eyeC = jnp.eye(C, dtype=dt)
 
-    cap = jnp.eye(C, dtype=Mi.dtype)[None] + cvec[:, None, None] * H
-    cap_chol = jnp.linalg.cholesky(cap)
-    sc = lambda B: jax.scipy.linalg.cho_solve((cap_chol, True), B)
-    hX_s = sc(hX)                                        # (L, C, p)
-    hy_s = sc(hy[..., None])[..., 0]                     # (L, C)
-    A = XmX - cvec[:, None, None] * jnp.einsum("kcp,kcq->kpq", hX, hX_s)
-    b = Xmy - cvec[:, None] * jnp.einsum("kcp,kc->kp", hX, hy_s)
-    yDy = ymy - cvec * jnp.einsum("kc,kc->k", hy, hy_s)
-    logdet_d = (
-        jnp.sum(jnp.log(m), axis=-1)
-        + (n - Lam.shape[0]) * jnp.log(deltas)
-        + 2 * jnp.sum(jnp.log(
-            jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
-    )
+    def body(_, idx):
+        lg = jax.lax.dynamic_slice_in_dim(logits, idx, chunk, axis=1)
+        rh = jax.lax.dynamic_slice_in_dim(rho, idx, chunk, axis=1)
+        dl = jax.nn.sigmoid(lg)                          # (S, c)
+        cvec = (1 - dl) * rh
+        i1 = 1.0 / dl
+        m = (1 - dl)[..., None] * ((1 - rh)[..., None] * Lam) \
+            + dl[..., None]                              # (S, c, rB)
+        wm = 1.0 / m
+        wc = colsS[:, None, :, :] * wm[..., None]        # (S, c, rB, q)
+        Mi = jnp.einsum("scrm,srn->scmn", wc, colsS) \
+            + compS[:, None] * i1[..., None, None]       # (S, c, q, q)
 
-    from ..ops.linalg import sym_pseudo_solve_and_logdet
+        H = Mi[..., :C, :C]
+        hX = Mi[..., :C, C : C + p]
+        hy = Mi[..., :C, -1]
+        XmX = Mi[..., C : C + p, C : C + p]
+        Xmy = Mi[..., C : C + p, -1]
+        ymy = Mi[..., -1, -1]
 
-    beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None], rcond=rcond)
-    beta = beta[..., 0]
-    rss_raw = yDy - jnp.einsum("kp,kp->k", b, beta)
-    rss = jnp.maximum(rss_raw, jnp.finfo(b.dtype).tiny)
-    if restricted:
-        nu = n - p
-        lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
-                      + logdet_a - logdet_xx + nu)
-    else:
-        lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
-    if b.dtype == jnp.float32:
-        # mask collapsed residuals / non-finite values out of the argmax
-        # (ADVICE.md round 1)
-        bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
-            | ~jnp.isfinite(lml)
-        lml = jnp.where(bad, -jnp.inf, lml)
+        cap = eyeC + cvec[..., None, None] * H
+        cap_chol = jnp.linalg.cholesky(cap)
+        sc = lambda B: jax.scipy.linalg.cho_solve((cap_chol, True), B)
+        hX_s = sc(hX)
+        hy_s = sc(hy[..., None])[..., 0]
+        A = XmX - cvec[..., None, None] * jnp.einsum("skcp,skcq->skpq",
+                                                     hX, hX_s)
+        b = Xmy - cvec[..., None] * jnp.einsum("skcp,skc->skp", hX, hy_s)
+        yDy = ymy - cvec * jnp.einsum("skc,skc->sk", hy, hy_s)
+        logdet_d = (
+            jnp.sum(jnp.log(m), axis=-1)
+            + (n - rB) * jnp.log(dl)
+            + 2 * jnp.sum(jnp.log(
+                jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
+        )
+
+        from ..ops.linalg import sym_pseudo_solve_and_logdet
+
+        beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None],
+                                                     rcond=rcond)
+        beta = beta[..., 0]
+        rss_raw = yDy - jnp.einsum("skp,skp->sk", b, beta)
+        rss = jnp.maximum(rss_raw, jnp.finfo(dt).tiny)
+        if restricted:
+            nu = n - p
+            lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
+                          + logdet_a - logdet_xxS[:, None] + nu)
+        else:
+            lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+        if dt == jnp.float32:
+            # mask collapsed residuals / non-finite values out of the
+            # argmax (ADVICE.md round 1)
+            bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
+                | ~jnp.isfinite(lml)
+            lml = jnp.where(bad, -jnp.inf, lml)
+        return None, (lml, beta, rss)
+
+    idxs = jnp.arange(0, Lpad, chunk)
+    _, (lml, beta, rss) = jax.lax.scan(body, None, idxs)
+    # scan stacks leading: (nchunk, S, c, ...) -> (S, L, ...)
+    def unstack(a):
+        a = jnp.moveaxis(a, 0, 1).reshape((S_, Lpad) + a.shape[3:])
+        return a[:, :L]
+
     if want_beta:
-        return lml, beta, rss
-    return lml
+        return unstack(lml), unstack(beta), unstack(rss)
+    return unstack(lml)
 
 
-def fit_delta_woodbury_family(cols, Gfull, Lam, rho_vec, n: int,
+def fit_delta_woodbury_family(colsS, GfullS, Lam, rho_vec, n: int,
                               restricted: bool, C: int,
                               lo=-18.0, hi=18.0, n_grid=16,
                               localize_f32: bool = False):
-    """Profiled fits for a whole rho grid sharing one pair-product tensor.
+    """Profiled fits for a whole (variant x rho) family in one program.
 
-    ``cols`` = [Ua | Ux | uy] (rB, q) rotated columns; ``Gfull`` (q, q) the
-    full-space Gram of [A | X | y].  Returns per-rho arrays
-    (lml, delta, beta (nrho, p), scale, v0, v1).
+    ``colsS`` = [Ua | Ux | uy] (S, rB, q) rotated columns per variant;
+    ``GfullS`` (S, q, q) full-space Grams of [A | X | y].  Returns
+    per-(variant, rho) arrays (lml (S, nrho), delta, beta (S, nrho, p),
+    scale, v0, v1).
 
-    Replaces the per-rho :func:`fit_delta_woodbury` vmap in the betas
-    kernel: the coarse grid and every zoom round evaluate all
-    (rho, delta-grid) points in ONE batched GEMM family, the pair products
-    are built once per variant, and the capacitance Cholesky batches over
-    the full (rho x grid) axis.
+    Replaces the per-(variant, rho) :func:`fit_delta_woodbury` vmap in the
+    betas kernel: every zoom round evaluates all (variant, rho, grid)
+    points in one chunk-scanned batched GEMM family, and the capacitance
+    Cholesky batches over the whole (variant, rho x grid) axis
+    (VERDICT round-1 item 6).
     """
-    dtype = cols.dtype
+    dtype = colsS.dtype
+    S_, rB, q = colsS.shape
     nrho = rho_vec.shape[0]
-    q = cols.shape[1]
     p = q - C - 1
-    P = cols[:, :, None] * cols[:, None, :]              # (rB, q, q)
-    Pq = P.reshape(-1, q * q)
-    comp = Gfull - jnp.sum(P, axis=0)
+    compS = GfullS - jnp.einsum("srm,srn->smn", colsS, colsS)
     if restricted:
         from ..ops.linalg import sym_pseudo_logdet
 
-        ld_xx = sym_pseudo_logdet(Gfull[C : C + p, C : C + p])
+        ld_xx = sym_pseudo_logdet(GfullS[:, C : C + p, C : C + p])
     else:
-        ld_xx = jnp.asarray(0.0, dtype)
+        ld_xx = jnp.zeros((S_,), dtype)
 
     use32 = bool(localize_f32) and dtype == jnp.float64
     if use32:
-        Pq32 = Pq.astype(jnp.float32)
-        comp32 = comp.astype(jnp.float32)
+        cols32 = colsS.astype(jnp.float32)
+        comp32 = compS.astype(jnp.float32)
         Lam32 = Lam.astype(jnp.float32)
         ld32 = ld_xx.astype(jnp.float32)
 
-    def family_vals(logits2d, f32_round):
-        """logits2d: (nrho, K) per-rho grids -> (nrho, K) lmls."""
-        K = logits2d.shape[1]
-        flat = logits2d.reshape(-1)
-        rho_flat = jnp.repeat(rho_vec, K)
+    def family_vals(logits3d, f32_round):
+        """logits3d: (S, nrho, K) -> (S, nrho, K) lmls."""
+        K = logits3d.shape[2]
+        flat = logits3d.reshape(S_, nrho * K)
+        rho_flat = jnp.broadcast_to(
+            jnp.repeat(rho_vec, K)[None], (S_, nrho * K))
         if f32_round:
-            v = _woodbury_family_eval(
+            v = _family_eval_batch(
                 flat.astype(jnp.float32), rho_flat.astype(jnp.float32),
-                Pq32, comp32, Lam32, C, n, restricted, ld32, rcond=1e-6)
-            return v.reshape(nrho, K).astype(dtype)
-        v = _woodbury_family_eval(flat, rho_flat, Pq, comp, Lam, C, n,
-                                  restricted, ld_xx, rcond=1e-12)
-        return v.reshape(nrho, K)
+                cols32, comp32, Lam32, C, n, restricted, ld32, rcond=1e-6)
+            return v.reshape(S_, nrho, K).astype(dtype)
+        v = _family_eval_batch(flat, rho_flat, colsS, compS, Lam, C, n,
+                               restricted, ld_xx, rcond=1e-12)
+        return v.reshape(S_, nrho, K)
 
     grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
-    vals = family_vals(jnp.broadcast_to(grid, (nrho, n_grid)), use32)
-    k = jnp.argmax(vals, axis=-1)                        # (nrho,)
+    vals = family_vals(jnp.broadcast_to(grid, (S_, nrho, n_grid)), use32)
+    k = jnp.argmax(vals, axis=-1)                        # (S, nrho)
     kpad = 2 if use32 else 1
     a = grid[jnp.maximum(k - kpad, 0)]
     bb = grid[jnp.minimum(k + kpad, n_grid - 1)]
@@ -564,10 +596,19 @@ def fit_delta_woodbury_family(cols, Gfull, Lam, rho_vec, n: int,
     K2 = 16
     t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
     logits, kz = None, None
-    n_rounds = 5 if use32 else 4
+    # f64 matmul is the throughput ceiling on TPU (~10x slower than f32);
+    # localization only needs to BRACKET the optimum, so the early zoom
+    # rounds run in f32 (each with a +-2-cell noise margin).  Once a
+    # problem's lml spread across its round grid falls below the f32 noise
+    # floor, further f32 argmaxes are noise and would random-walk the
+    # bracket off the optimum — such rows FREEZE their bracket and leave
+    # the remaining shrinkage to the f64 tail rounds (three of them, plus
+    # the parabolic vertex and the final full fit).  Hybrid-vs-f64
+    # equality is pinned in tests/test_hybrid.py.
+    n_rounds = 7 if use32 else 4
     for r in range(n_rounds):
-        f32_round = use32 and r == 0
-        logits = a[:, None] + (bb - a)[:, None] * t[None]    # (nrho, K2)
+        f32_round = use32 and r < n_rounds - 3
+        logits = a[..., None] + (bb - a)[..., None] * t      # (S, nrho, K2)
         vals = family_vals(logits, f32_round)
         kz = jnp.argmax(vals, axis=-1)
         cell = (bb - a) / (K2 - 1)
@@ -576,22 +617,29 @@ def fit_delta_woodbury_family(cols, Gfull, Lam, rho_vec, n: int,
         a_new = jnp.maximum(center - pad * cell, a)
         bb_new = jnp.minimum(center + pad * cell, bb)
         if f32_round:
-            row_bad = jnp.all(~jnp.isfinite(vals), axis=-1)
-            a_new = jnp.where(row_bad, a, a_new)
-            bb_new = jnp.where(row_bad, bb, bb_new)
+            finite = jnp.isfinite(vals)
+            vmax = jnp.max(jnp.where(finite, vals, -jnp.inf), axis=-1)
+            vmin = jnp.min(jnp.where(finite, vals, jnp.inf), axis=-1)
+            noise = 64 * jnp.finfo(jnp.float32).eps \
+                * jnp.maximum(jnp.abs(vmax), 1.0)
+            freeze = (~jnp.any(finite, axis=-1)) \
+                | ((vmax - vmin) < noise)
+            a_new = jnp.where(freeze, a, a_new)
+            bb_new = jnp.where(freeze, bb, bb_new)
         a, bb = a_new, bb_new
     km = jnp.clip(kz, 1, K2 - 2)
-    h = logits[:, 1] - logits[:, 0]                      # (nrho,)
-    take = lambda idx: jnp.take_along_axis(vals, idx[:, None], axis=1)[:, 0]
+    h = logits[..., 1] - logits[..., 0]                  # (S, nrho)
+    take = lambda idx: jnp.take_along_axis(vals, idx[..., None],
+                                           axis=-1)[..., 0]
     f0, f1, f2 = take(km - 1), take(km), take(km + 1)
     denom = f0 - 2 * f1 + f2
     step = jnp.where(denom < 0, 0.5 * h * (f0 - f2) / denom, 0.0)
-    x_star = jnp.take_along_axis(logits, km[:, None], axis=1)[:, 0] \
-        + jnp.clip(step, -h, h)
+    x_star = jnp.take_along_axis(logits, km[..., None], axis=-1)[..., 0] \
+        + jnp.clip(step, -h, h)                          # (S, nrho)
 
-    lml, beta, rss = _woodbury_family_eval(
-        x_star, rho_vec, Pq, comp, Lam, C, n, restricted, ld_xx,
-        rcond=1e-12, want_beta=True)
+    lml, beta, rss = _family_eval_batch(
+        x_star, jnp.broadcast_to(rho_vec[None], (S_, nrho)), colsS, compS,
+        Lam, C, n, restricted, ld_xx, rcond=1e-12, want_beta=True)
     delta = jax.nn.sigmoid(x_star)
     nu = (n - p) if restricted else n
     scale = rss / nu
