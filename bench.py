@@ -188,8 +188,13 @@ def main():
     null_fits_per_sec = round(eff_batch * nrho / t_kernel, 1)
 
     configs = {}
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    t_start = time.perf_counter()
 
     def _try(name, fn):
+        if time.perf_counter() - t_start > budget_s:
+            configs[name] = {"skipped": "time budget exhausted"}
+            return
         try:
             t0 = time.perf_counter()
             configs[name] = fn()

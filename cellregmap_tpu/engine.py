@@ -912,22 +912,11 @@ def predict_interaction_kernel(ctx: BetasContext, G, norm, n: int,
     GfullS = jax.vmap(gram_snp, in_axes=(2, 2, 1, 1, 1, 0, 0))(
         M2, AB, ay, Ag2, Bg, gg, gy)
 
-    lml_r, delta_r, beta_r, scale_r, v0_r, v1_r = \
+    # per-variant best-rho fits (the family fitter prunes + argmaxes rho)
+    lml, delta, beta, scale, v0, v1, rho1 = \
         lmm_mod.fit_delta_woodbury_family(
             colsS, GfullS, ctx.Lam, ctx.rho, n, True, C,
-            lo, hi, n_grid, localize_f32=localize_f32)   # each (S, nrho, ..)
-
-    k = jnp.argmax(lml_r, axis=-1)                       # (S,)
-    take = lambda a: jnp.take_along_axis(
-        a, k.reshape((S,) + (1,) * (a.ndim - 1)), axis=1).reshape(
-            (S,) + a.shape[2:])
-    rho1 = jnp.take(ctx.rho, k)                          # (S,)
-    delta = take(delta_r)
-    beta = take(beta_r)                                  # (S, pB+1)
-    v0 = take(v0_r)
-    v1 = take(v1_r)
-    scale = take(scale_r)
-    lml = take(lml_r)
+            lo, hi, n_grid, localize_f32=localize_f32)
 
     beta_g = beta[:, pB]  # the g coefficient (last design column)
 

@@ -38,6 +38,7 @@ _INVPHI = 0.6180339887498949
 _INVPHI2 = 0.3819660112501051
 
 
+
 class FitResult(NamedTuple):
     lml: jax.Array
     delta: jax.Array
@@ -438,10 +439,20 @@ def _family_eval_batch(logits, rho, colsS, compS, Lam, C, n, restricted,
     ``logits``/``rho``: (S, L) paired points per variant.  ``colsS``:
     (S, rB, q) rotated columns [Ua | Ux | uy] per variant — independent of
     both rho and delta.  ``compS``: (S, q, q) complement Grams
-    ``Gfull - cols^T cols``.  The rB contraction for a chunk of points is
-    one batched GEMM over weighted columns; a `lax.scan` over point chunks
-    keeps the peak intermediate at (S, chunk, rB, q) instead of the
-    (S, rB, q^2) pair-product tensor that OOMed (VERDICT round-1 item 6).
+    ``Gfull - cols^T cols``.
+
+    Two-phase structure, both TPU-shaped:
+
+    1. The rB contraction runs as chunk-scanned batched GEMMs over weighted
+       columns — the (S, chunk, rB, q) intermediate bounds memory (the
+       (S, rB, q^2) pair-product tensor OOMed; VERDICT round-1 item 6) —
+       producing the (S, L, q, q) solve blocks, which ARE small enough to
+       materialize.
+    2. All small-matrix algebra (rank-C capacitance, normal equations)
+       then runs ONCE over the full (S, L) batch as unrolled component
+       Cholesky chains: elementwise ops on (S, L) arrays, no (q, q)
+       trailing axes for the TPU to tile-pad, no batched triangular-solve
+       launches per chunk (which dominated runtime at ~50 ms/chunk).
     """
     S_, rB, q = colsS.shape
     L = logits.shape[1]
@@ -460,93 +471,159 @@ def _family_eval_batch(logits, rho, colsS, compS, Lam, C, n, restricted,
         rho = jnp.concatenate(
             [rho, jnp.broadcast_to(rho[:, -1:], (S_, pad))], axis=1)
 
-    eyeC = jnp.eye(C, dtype=dt)
+    dl_all = jax.nn.sigmoid(logits)                      # (S, Lpad)
+    cvec_all = (1 - dl_all) * rho
+    i1_all = 1.0 / dl_all
 
-    def body(_, idx):
-        lg = jax.lax.dynamic_slice_in_dim(logits, idx, chunk, axis=1)
+    def mi_body(_, idx):
+        dl = jax.lax.dynamic_slice_in_dim(dl_all, idx, chunk, axis=1)
         rh = jax.lax.dynamic_slice_in_dim(rho, idx, chunk, axis=1)
-        dl = jax.nn.sigmoid(lg)                          # (S, c)
-        cvec = (1 - dl) * rh
-        i1 = 1.0 / dl
         m = (1 - dl)[..., None] * ((1 - rh)[..., None] * Lam) \
             + dl[..., None]                              # (S, c, rB)
         wm = 1.0 / m
         wc = colsS[:, None, :, :] * wm[..., None]        # (S, c, rB, q)
-        Mi = jnp.einsum("scrm,srn->scmn", wc, colsS) \
-            + compS[:, None] * i1[..., None, None]       # (S, c, q, q)
-
-        H = Mi[..., :C, :C]
-        hX = Mi[..., :C, C : C + p]
-        hy = Mi[..., :C, -1]
-        XmX = Mi[..., C : C + p, C : C + p]
-        Xmy = Mi[..., C : C + p, -1]
-        ymy = Mi[..., -1, -1]
-
-        cap = eyeC + cvec[..., None, None] * H
-        cap_chol = jnp.linalg.cholesky(cap)
-        sc = lambda B: jax.scipy.linalg.cho_solve((cap_chol, True), B)
-        hX_s = sc(hX)
-        hy_s = sc(hy[..., None])[..., 0]
-        A = XmX - cvec[..., None, None] * jnp.einsum("skcp,skcq->skpq",
-                                                     hX, hX_s)
-        b = Xmy - cvec[..., None] * jnp.einsum("skcp,skc->skp", hX, hy_s)
-        yDy = ymy - cvec * jnp.einsum("skc,skc->sk", hy, hy_s)
-        logdet_d = (
-            jnp.sum(jnp.log(m), axis=-1)
-            + (n - rB) * jnp.log(dl)
-            + 2 * jnp.sum(jnp.log(
-                jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
-        )
-
-        from ..ops.linalg import sym_pseudo_solve_and_logdet
-
-        beta, logdet_a = sym_pseudo_solve_and_logdet(A, b[..., None],
-                                                     rcond=rcond)
-        beta = beta[..., 0]
-        rss_raw = yDy - jnp.einsum("skp,skp->sk", b, beta)
-        rss = jnp.maximum(rss_raw, jnp.finfo(dt).tiny)
-        if restricted:
-            nu = n - p
-            lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
-                          + logdet_a - logdet_xxS[:, None] + nu)
-        else:
-            lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
-        if dt == jnp.float32:
-            # mask collapsed residuals / non-finite values out of the
-            # argmax (ADVICE.md round 1)
-            bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
-                | ~jnp.isfinite(lml)
-            lml = jnp.where(bad, -jnp.inf, lml)
-        return None, (lml, beta, rss)
+        Mi = jnp.einsum("scrm,srn->scmn", wc, colsS)
+        return None, (Mi, jnp.sum(jnp.log(m), axis=-1))
 
     idxs = jnp.arange(0, Lpad, chunk)
-    _, (lml, beta, rss) = jax.lax.scan(body, None, idxs)
-    # scan stacks leading: (nchunk, S, c, ...) -> (S, L, ...)
-    def unstack(a):
-        a = jnp.moveaxis(a, 0, 1).reshape((S_, Lpad) + a.shape[3:])
-        return a[:, :L]
+    _, (Mi, logm) = jax.lax.scan(mi_body, None, idxs)
+    # scan stacks leading: (nchunk, S, c, ...) -> (S, Lpad, ...)
+    Mi = jnp.moveaxis(Mi, 0, 1).reshape(S_, Lpad, q, q)
+    logm = jnp.moveaxis(logm, 0, 1).reshape(S_, Lpad)
+    Mi = Mi + compS[:, None] * i1_all[..., None, None]
+
+    cvec, i1, dl = cvec_all, i1_all, dl_all
 
     if want_beta:
-        return unstack(lml), unstack(beta), unstack(rss)
-    return unstack(lml)
+        # beta extraction (only the final, nrho-point evaluation) uses the
+        # Schur-complement matrix path
+        lml, beta_c_mat, rss_raw = _family_blocks_matrix(
+            Mi, logm, cvec, i1, dl, Lam, C, p, q, n, restricted,
+            logdet_xxS, rcond, dt)
+        rss = jnp.maximum(rss_raw, jnp.finfo(dt).tiny)
+        return lml[:, :L], beta_c_mat[:, :L], rss[:, :L]
+
+    # lml-only (the zoom rounds, the hot path): ONE batched Cholesky of
+    # the bordered Gram
+    #
+    #   J = [[I + cvec H,  s hX,  s hy ],      s = sqrt(cvec)
+    #        [s hX^T,      XmX,   Xmy  ],
+    #        [s hy^T,      Xmy^T, ymy  ]]
+    #
+    # whose pivots give everything the lml needs with NO solves at all:
+    # prod of the first C pivots^2 = det(cap), the next p
+    # = det(XmX - cvec hX^T cap^{-1} hX) (the GLS normal matrix), and the
+    # last pivot^2 = the GLS residual rss (the classic augmented-Gram
+    # identity).  J = Mi * (w w^T) + diag([1]*C + [0]*(p+1)) with
+    # w = [s..s, 1..1].  One native batched Cholesky replaces the previous
+    # capacitance-chol + multi-RHS triangular solves + normal-matrix chol
+    # (the solves dominated runtime); hand-rolled fori/unrolled
+    # factorizations are ruled out by the remote TPU AOT compiler, which
+    # takes >4 min on such constructs.
+    from ..ops.linalg import _ridge
+
+    s_b = jnp.sqrt(cvec)
+    w = jnp.concatenate([
+        jnp.broadcast_to(s_b[..., None], s_b.shape + (C,)),
+        jnp.ones(s_b.shape + (p + 1,), dt),
+    ], axis=-1)                                          # (S, Lpad, q)
+    diagC = jnp.concatenate([jnp.ones(C, dt), jnp.zeros(p + 1, dt)])
+    J = Mi * (w[..., :, None] * w[..., None, :]) + jnp.diag(diagC)
+    # no ridge in f32: the diagonal spans ~1 (cap block) to ~n (y Gram), so
+    # a max-diag-relative ridge would perturb the cap block at the 1e-3
+    # level; marginally non-PD f32 points produce NaN pivots and are
+    # masked to -inf below instead
+    JL = jnp.linalg.cholesky(J if dt == jnp.float32 else _ridge(J, rcond))
+    pivots = jnp.diagonal(JL, axis1=-2, axis2=-1)        # (S, Lpad, q)
+    logdet_cap = 2.0 * jnp.sum(jnp.log(pivots[..., :C]), axis=-1)
+    logdet_a = 2.0 * jnp.sum(jnp.log(pivots[..., C:-1]), axis=-1)
+    rss_raw = pivots[..., -1] ** 2
+    rss = jnp.maximum(rss_raw, jnp.finfo(dt).tiny)
+    logdet_d = logm + (n - rB) * jnp.log(dl) + logdet_cap
+    if restricted:
+        nu = n - p
+        lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
+                      + logdet_a - logdet_xxS[:, None] + nu)
+    else:
+        lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+    if dt == jnp.float32:
+        # mask collapsed residuals / non-finite values out of the argmax
+        # (ADVICE.md round 1)
+        bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
+            | ~jnp.isfinite(lml)
+        lml = jnp.where(bad, -jnp.inf, lml)
+    return lml[:, :L]
+
+
+def _family_blocks_matrix(Mi, logm, cvec, i1, dl, Lam, C, p, q, n,
+                          restricted, logdet_xxS, rcond, dt):
+    """Matrix-form phase 2 of :func:`_family_eval_batch` (large C/p)."""
+    H = Mi[..., :C, :C]
+    hX = Mi[..., :C, C : C + p]
+    hy = Mi[..., :C, -1]
+    XmX = Mi[..., C : C + p, C : C + p]
+    Xmy = Mi[..., C : C + p, -1]
+    ymy = Mi[..., -1, -1]
+
+    from ..ops.linalg import _ridge
+
+    cap = jnp.eye(C, dtype=dt) + cvec[..., None, None] * H
+    if dt == jnp.float32:
+        cap = cap + 1e-6 * jnp.eye(C, dtype=dt)
+    cap_chol = jnp.linalg.cholesky(cap)
+    rhs = jnp.concatenate([hX, hy[..., None]], axis=-1)
+    sol = jax.scipy.linalg.cho_solve((cap_chol, True), rhs)
+    hX_s = sol[..., :p]
+    hy_s = sol[..., p]
+    A = XmX - cvec[..., None, None] * jnp.einsum("skcp,skcq->skpq",
+                                                 hX, hX_s)
+    b = Xmy - cvec[..., None] * jnp.einsum("skcp,skc->skp", hX, hy_s)
+    yDy = ymy - cvec * jnp.einsum("skc,skc->sk", hy, hy_s)
+    logdet_d = logm + (n - Lam.shape[0]) * jnp.log(dl) \
+        + 2 * jnp.sum(jnp.log(
+            jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1)
+
+    A_chol = jnp.linalg.cholesky(_ridge(A, rcond))
+    beta = jax.scipy.linalg.cho_solve((A_chol, True), b[..., None])[..., 0]
+    logdet_a = 2 * jnp.sum(jnp.log(
+        jnp.diagonal(A_chol, axis1=-2, axis2=-1)), axis=-1)
+    rss_raw = yDy - jnp.einsum("skp,skp->sk", b, beta)
+    rss = jnp.maximum(rss_raw, jnp.finfo(dt).tiny)
+    if restricted:
+        nu = n - p
+        lml = -0.5 * (nu * jnp.log(2 * jnp.pi * rss / nu) + logdet_d
+                      + logdet_a - logdet_xxS[:, None] + nu)
+    else:
+        lml = -0.5 * (n * jnp.log(2 * jnp.pi * rss / n) + logdet_d + n)
+    if dt == jnp.float32:
+        bad = (rss_raw <= 8 * jnp.finfo(jnp.float32).tiny) \
+            | ~jnp.isfinite(lml)
+        lml = jnp.where(bad, -jnp.inf, lml)
+    return lml, beta, rss_raw
 
 
 def fit_delta_woodbury_family(colsS, GfullS, Lam, rho_vec, n: int,
                               restricted: bool, C: int,
                               lo=-18.0, hi=18.0, n_grid=16,
                               localize_f32: bool = False):
-    """Profiled fits for a whole (variant x rho) family in one program.
+    """Profiled fits for a whole (variant x rho) family in one program,
+    returning the per-variant BEST-rho fit.
 
     ``colsS`` = [Ua | Ux | uy] (S, rB, q) rotated columns per variant;
     ``GfullS`` (S, q, q) full-space Grams of [A | X | y].  Returns
-    per-(variant, rho) arrays (lml (S, nrho), delta, beta (S, nrho, p),
-    scale, v0, v1).
+    per-variant arrays (lml, delta, beta (S, p), scale, v0, v1, rho1).
 
     Replaces the per-(variant, rho) :func:`fit_delta_woodbury` vmap in the
     betas kernel: every zoom round evaluates all (variant, rho, grid)
-    points in one chunk-scanned batched GEMM family, and the capacitance
-    Cholesky batches over the whole (variant, rho x grid) axis
-    (VERDICT round-1 item 6).
+    points in one chunk-scanned batched GEMM family and one bordered-Gram
+    Cholesky (VERDICT round-1 item 6).  With ``localize_f32`` the rho
+    family is PRUNED after the all-rho f32 screen+zooms: the f64 tail
+    rounds and the final fit run only on each variant's top-2 rho — the
+    f64 solve work (the TPU throughput ceiling) drops ~5x.
+    A rho outside the f32 top-2 can only win at an lml tie below the f32
+    noise floor (the documented hybrid-localization semantics;
+    tests/test_hybrid.py); exact-argmax runs use localize_f32=False,
+    which keeps every rho in f64.
     """
     dtype = colsS.dtype
     S_, rB, q = colsS.shape
@@ -567,53 +644,43 @@ def fit_delta_woodbury_family(colsS, GfullS, Lam, rho_vec, n: int,
         Lam32 = Lam.astype(jnp.float32)
         ld32 = ld_xx.astype(jnp.float32)
 
-    def family_vals(logits3d, f32_round):
-        """logits3d: (S, nrho, K) -> (S, nrho, K) lmls."""
-        K = logits3d.shape[2]
-        flat = logits3d.reshape(S_, nrho * K)
-        rho_flat = jnp.broadcast_to(
-            jnp.repeat(rho_vec, K)[None], (S_, nrho * K))
+    def family_vals(logits3d, rho2d, f32_round):
+        """logits3d (S, nr, K), rho2d (S, nr) -> (S, nr, K) lmls."""
+        nr, K = logits3d.shape[1:]
+        flat = logits3d.reshape(S_, nr * K)
+        rho_flat = jnp.repeat(rho2d, K, axis=-1)
         if f32_round:
             v = _family_eval_batch(
                 flat.astype(jnp.float32), rho_flat.astype(jnp.float32),
                 cols32, comp32, Lam32, C, n, restricted, ld32, rcond=1e-6)
-            return v.reshape(S_, nrho, K).astype(dtype)
+            return v.reshape(S_, nr, K).astype(dtype)
         v = _family_eval_batch(flat, rho_flat, colsS, compS, Lam, C, n,
                                restricted, ld_xx, rcond=1e-12)
-        return v.reshape(S_, nrho, K)
-
-    grid = jnp.linspace(lo, hi, n_grid, dtype=dtype)
-    vals = family_vals(jnp.broadcast_to(grid, (S_, nrho, n_grid)), use32)
-    k = jnp.argmax(vals, axis=-1)                        # (S, nrho)
-    kpad = 2 if use32 else 1
-    a = grid[jnp.maximum(k - kpad, 0)]
-    bb = grid[jnp.minimum(k + kpad, n_grid - 1)]
-    if use32:
-        row_bad = jnp.all(~jnp.isfinite(vals), axis=-1)
-        a = jnp.where(row_bad, grid[0], a)
-        bb = jnp.where(row_bad, grid[-1], bb)
+        return v.reshape(S_, nr, K)
 
     K2 = 16
     t = jnp.linspace(0.0, 1.0, K2, dtype=dtype)
-    logits, kz = None, None
     # f64 matmul is the throughput ceiling on TPU (~10x slower than f32);
-    # localization only needs to BRACKET the optimum, so the early zoom
-    # rounds run in f32 (each with a +-2-cell noise margin).  Once a
-    # problem's lml spread across its round grid falls below the f32 noise
-    # floor, further f32 argmaxes are noise and would random-walk the
-    # bracket off the optimum — such rows FREEZE their bracket and leave
-    # the remaining shrinkage to the f64 tail rounds (three of them, plus
-    # the parabolic vertex and the final full fit).  Hybrid-vs-f64
-    # equality is pinned in tests/test_hybrid.py.
-    n_rounds = 7 if use32 else 4
-    for r in range(n_rounds):
-        f32_round = use32 and r < n_rounds - 3
-        logits = a[..., None] + (bb - a)[..., None] * t      # (S, nrho, K2)
-        vals = family_vals(logits, f32_round)
+    # localization only needs to BRACKET the optimum, so the coarse grid
+    # and early zoom rounds run in f32 (each with a +-2-cell noise
+    # margin).  Once a problem's lml spread across its round grid falls
+    # below the f32 noise floor, further f32 argmaxes are noise and would
+    # random-walk the bracket off the optimum — such rows FREEZE their
+    # bracket and leave the remaining shrinkage to the f64 tail rounds
+    # (plus the parabolic vertex and the final full fit).  Hybrid-vs-f64
+    # equality is pinned in tests/test_hybrid.py.  Each precision's round
+    # runs under ONE fori_loop (the first iteration over the full [lo, hi]
+    # range IS the coarse grid) so its chunk-scanned evaluator body is
+    # traced and compiled once, not once per round — remote-TPU compiles
+    # are minutes per extra trace.
+
+    def zoom_round(state, rho2d, f32_round, pad):
+        a, bb, _, _, _ = state
+        logits = a[..., None] + (bb - a)[..., None] * t  # (S, nr, K2)
+        vals = family_vals(logits, rho2d, f32_round)
         kz = jnp.argmax(vals, axis=-1)
         cell = (bb - a) / (K2 - 1)
         center = a + cell * kz
-        pad = 2.0 if f32_round else 1.0
         a_new = jnp.maximum(center - pad * cell, a)
         bb_new = jnp.minimum(center + pad * cell, bb)
         if f32_round:
@@ -626,24 +693,64 @@ def fit_delta_woodbury_family(colsS, GfullS, Lam, rho_vec, n: int,
                 | ((vmax - vmin) < noise)
             a_new = jnp.where(freeze, a, a_new)
             bb_new = jnp.where(freeze, bb, bb_new)
-        a, bb = a_new, bb_new
+        return a_new, bb_new, logits, vals, kz
+
+    def init_state(nr):
+        shape = (S_, nr)
+        return (jnp.full(shape, lo, dtype), jnp.full(shape, hi, dtype),
+                jnp.zeros(shape + (K2,), dtype),
+                jnp.zeros(shape + (K2,), dtype),
+                jnp.zeros(shape, jnp.argmax(t).dtype))
+
+    if use32:
+        # f32 screen + zooms over ALL rho under ONE fori (one evaluator
+        # trace — each extra trace costs ~80 s of remote TPU compile),
+        # then prune to each variant's top-2 rho for the f64 tail
+        rho_all = jnp.broadcast_to(rho_vec[None], (S_, nrho))
+        stA = jax.lax.fori_loop(
+            0, 5, lambda _, s: zoom_round(s, rho_all, True, 2.0),
+            init_state(nrho))
+        aA, bbA, _, valsA, _ = stA
+        k2 = min(2, nrho)
+        _, top2 = jax.lax.top_k(jnp.max(valsA, axis=-1), k2)
+        g2 = lambda x: jnp.take_along_axis(x, top2, axis=1)
+        rho_sel = g2(rho_all)
+        st = (g2(aA), g2(bbA)) + init_state(k2)[2:]
+        n_f64 = 3
+    else:
+        rho_sel = jnp.broadcast_to(rho_vec[None], (S_, nrho))
+        st = init_state(nrho)
+        n_f64 = 5
+    st = jax.lax.fori_loop(
+        0, n_f64, lambda _, s: zoom_round(s, rho_sel, False, 1.0), st)
+    _, _, logits, vals, kz = st
     km = jnp.clip(kz, 1, K2 - 2)
-    h = logits[..., 1] - logits[..., 0]                  # (S, nrho)
+    h = logits[..., 1] - logits[..., 0]                  # (S, nr)
     take = lambda idx: jnp.take_along_axis(vals, idx[..., None],
                                            axis=-1)[..., 0]
     f0, f1, f2 = take(km - 1), take(km), take(km + 1)
     denom = f0 - 2 * f1 + f2
     step = jnp.where(denom < 0, 0.5 * h * (f0 - f2) / denom, 0.0)
     x_star = jnp.take_along_axis(logits, km[..., None], axis=-1)[..., 0] \
-        + jnp.clip(step, -h, h)                          # (S, nrho)
+        + jnp.clip(step, -h, h)                          # (S, nr)
 
     lml, beta, rss = _family_eval_batch(
-        x_star, jnp.broadcast_to(rho_vec[None], (S_, nrho)), colsS, compS,
+        x_star, rho_sel, colsS, compS,
         Lam, C, n, restricted, ld_xx, rcond=1e-12, want_beta=True)
     delta = jax.nn.sigmoid(x_star)
     nu = (n - p) if restricted else n
     scale = rss / nu
-    return lml, delta, beta, scale, scale * (1 - delta), scale * delta
+
+    k = jnp.argmax(lml, axis=-1)                         # (S,)
+    sel = lambda a: jnp.take_along_axis(
+        a, k.reshape((S_, 1) + (1,) * (a.ndim - 2)), axis=1)[:, 0]
+    lml_b = sel(lml)
+    delta_b = sel(delta)
+    beta_b = sel(beta)
+    scale_b = sel(scale)
+    rho1 = sel(rho_sel)
+    return (lml_b, delta_b, beta_b, scale_b,
+            scale_b * (1 - delta_b), scale_b * delta_b, rho1)
 
 
 def fit_delta_woodbury(data: WoodburyData, n: int, restricted: bool,

@@ -191,18 +191,12 @@ def score_statistic_liu_params(q, weights):
 
 
 def qmin(liu_params):
-    """SKAT-O style per-rho quantile combination (reference _math.py:183-201)."""
-    n = len(liu_params)
-    T = min(i["pv"] for i in liu_params)
-    out = np.zeros(n)
-    percentile = 1 - T
-    for i in range(n):
-        qv = chi2.ppf(percentile, liu_params[i]["dof_x"])
-        mu_q = liu_params[i]["mu_q"]
-        sigma_q = liu_params[i]["sigma_q"]
-        dof = liu_params[i]["dof_x"]
-        out[i] = (qv - dof) / (2 * dof) ** 0.5 * sigma_q + mu_q
-    return out
+    """SKAT-O style per-rho quantile combination (reference _math.py:183-201).
+
+    Pure scipy; the single implementation lives in models.pvalues."""
+    from .models.pvalues import qmin as _qmin
+
+    return _qmin(liu_params)
 
 
 def imhof_sf(q, lambdas, epsabs=1e-13, epsrel=1e-11):

@@ -113,3 +113,24 @@ def test_orthonormal_basis_and_gram(rng):
     S, V = gram_eigh(jnp.asarray(Z.T @ F @ F.T @ Z))
     got = Z @ np.asarray(V) @ np.diag(np.asarray(S)) @ np.asarray(V).T @ Z.T
     assert_allclose(got, F @ F.T, atol=1e-9)
+
+
+def test_batched_small_chol_and_solve():
+    """fori-loop batched tiny-matrix Cholesky/solve vs numpy (the native
+    batched path is catastrophically slow on TPU; ops/linalg.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from numpy.testing import assert_allclose
+    from cellregmap_tpu.ops.linalg import (batched_small_chol,
+                                           batched_small_cho_solve)
+
+    rng = np.random.default_rng(3)
+    for m, batch in ((1, 4), (5, 7), (12, 3)):
+        F = rng.normal(size=(batch, m, m + 3))
+        A = F @ np.swapaxes(F, -1, -2) + m * np.eye(m)
+        B = rng.normal(size=(batch, m, 2))
+        L = np.asarray(batched_small_chol(jnp.asarray(A)))
+        assert_allclose(L, np.linalg.cholesky(A), rtol=1e-10, atol=1e-12)
+        X = np.asarray(batched_small_cho_solve(jnp.asarray(L),
+                                               jnp.asarray(B)))
+        assert_allclose(X, np.linalg.solve(A, B), rtol=1e-9, atol=1e-11)
