@@ -223,9 +223,13 @@ def main():
             return m
 
         def _betas2k():
+            # warm with the SAME batch shape as the measured run (a padded
+            # warmup batch would leave the real shape compiling inside the
+            # timed region)
             nb = 512
+            bb = min(cfg.snp_batch, crm._auto_batch_cap("betas"), nb)
             t0 = time.perf_counter()
-            crm.predict_interaction(d["G"][:, :64], d["maf"][:64])
+            crm.predict_interaction(d["G"][:, :bb], d["maf"][:bb])
             tc = time.perf_counter() - t0
             t0 = time.perf_counter()
             crm.predict_interaction(d["G"][:, :nb], d["maf"][:nb])

@@ -129,39 +129,54 @@ def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
 # --------------------------------------------------------------------------
 # Shared helpers
 # --------------------------------------------------------------------------
-def _khatri_rao_rotate(Z, E0, G):
-    """T[c] = Z^T (E0[:, c] (.) G)  ->  (C, R, S).
+def _kr_contract(U, V, G):
+    """M[k, j, s] = sum_n U[n,k] V[n,j] G[n,s]  ->  (K, p, S).
 
-    The dominant contraction of the scan (n * R * C * S flops), expressed as
-    ONE (R, n) @ (n, C*S) matmul over the materialized Khatri-Rao product —
-    a single MXU-shaped HLO op instead of C separate matmuls (the loop form
-    multiplied compile time by C and serialized C kernel launches).  The
-    (n, C, S) intermediate is accounted for in api._auto_batch_cap.
+    The Khatri-Rao contractions are each ONE (K, n) @ (n, p*S) matmul —
+    a single MXU-shaped HLO op instead of per-column matmuls (which
+    multiplied compile time and serialized kernel launches).  XLA's f64
+    matmul expands each operand into ~8 f32 limb copies, so at large n the
+    cell axis is blocked with a lax.scan accumulator to bound the expanded
+    buffers (a 100k-cell batch otherwise allocates ~6 GB per operand).
     """
-    n, C = E0.shape
+    n, K = U.shape
+    p = V.shape[1]
     S = G.shape[1]
-    KR = (E0[:, :, None] * G[:, None, :]).reshape(n, C * S)
-    return (Z.T @ KR).reshape(-1, C, S).transpose(1, 0, 2)
+    kdim = max(K, p * S)
+    nb = max(1024, int(4.7e7 / max(kdim, 1)))
+    if nb >= n:
+        KR = (V[:, :, None] * G[:, None, :]).reshape(n, p * S)
+        return (U.T @ KR).reshape(K, p, S)
+
+    npad = -(-n // nb) * nb
+    pad = npad - n
+    zp = lambda A: (jnp.concatenate(
+        [A, jnp.zeros((pad,) + A.shape[1:], A.dtype)]) if pad else A)
+    Up, Vp, Gp = zp(U), zp(V), zp(G)
+
+    def body(acc, i):
+        sl = lambda A: jax.lax.dynamic_slice_in_dim(A, i, nb, axis=0)
+        KR = (sl(Vp)[:, :, None] * sl(Gp)[:, None, :]).reshape(nb, p * S)
+        return acc + sl(Up).T @ KR, None
+
+    acc0 = jnp.zeros((K, p * S), U.dtype)
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(0, npad, nb))
+    return acc.reshape(K, p, S)
+
+
+def _khatri_rao_rotate(Z, E0, G):
+    """T[c] = Z^T (E0[:, c] (.) G)  ->  (C, R, S); see :func:`_kr_contract`."""
+    return _kr_contract(Z, E0, G).transpose(1, 0, 2)
 
 
 def _e0_weighted_grams(E0, Gpow):
-    """M[c, d, s] = sum_n E0[n,c] E0[n,d] Gpow[n,s]  ->  (C, C, S).
-
-    One (C, n) @ (n, C*S) matmul over the Khatri-Rao product (see
-    :func:`_khatri_rao_rotate`).
-    """
-    n, C = E0.shape
-    S = Gpow.shape[1]
-    KR = (E0[:, :, None] * Gpow[:, None, :]).reshape(n, C * S)
-    return (E0.T @ KR).reshape(C, C, S)
+    """M[c, d, s] = sum_n E0[n,c] E0[n,d] Gpow[n,s]  ->  (C, C, S)."""
+    return _kr_contract(E0, E0, Gpow)
 
 
 def _cross_weighted_grams(U, V, G):
-    """M[c, j, s] = sum_n U[n,c] V[n,j] G[n,s]  ->  (C, p, S), one matmul."""
-    n, p = V.shape
-    S = G.shape[1]
-    KR = (V[:, :, None] * G[:, None, :]).reshape(n, p * S)
-    return (U.T @ KR).reshape(U.shape[1], p, S)
+    """M[c, j, s] = sum_n U[n,c] V[n,j] G[n,s]  ->  (C, p, S)."""
+    return _kr_contract(U, V, G)
 
 
 def score_test_core(Sb, Xt, yt, At, XX, Xy, AX, ay, AtA, v0, v1):
@@ -196,30 +211,6 @@ def score_test_core(Sb, Xt, yt, At, XX, Xy, AX, ay, AtA, v0, v1):
     Q = 0.5 * APy @ APy
     Wmat = 0.25 * (APA + APA.T)  # 1/2 A^T P A, symmetrized
     return Q, Wmat
-
-
-def _rotate_at_best_rho(T, V, k_best, max_chunk: int = 16):
-    """At[s] = V[k_best[s]]^T @ T[:, :, s]^T  ->  (S, R, C).
-
-    Chunked gather-then-batched-matmul: the (chunk, R, R) gathered
-    eigenvector slab bounds memory; total matmul work is S R^2 C — nrho x
-    less than rotating T at every rho and masking by a one-hot.
-    """
-    C, R, S = T.shape
-    Tt = T.transpose(2, 1, 0)                                   # (S, R, C)
-    chunk = max_chunk
-    while S % chunk:
-        chunk //= 2
-    chunk = max(chunk, 1)
-
-    def body(_, idx):
-        ks = jax.lax.dynamic_slice_in_dim(k_best, idx, chunk)
-        Vc = jnp.take(V, ks, axis=0)                            # (b, R, R)
-        Tc = jax.lax.dynamic_slice_in_dim(Tt, idx, chunk, axis=0)
-        return None, jnp.einsum("brq,brc->bqc", Vc, Tc)
-
-    _, out = jax.lax.scan(body, None, jnp.arange(0, S, chunk))
-    return out.reshape(S, R, C)
 
 
 def _fit_over_rho(ctx: NullContext, Xz, X_gram, X_y, n, restricted,
@@ -287,9 +278,16 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # score factor T is rotated only at each variant's best rho, after the
     # rho argmax — an all-rho (nrho, R, C, S) tensor is the scan's largest
     # allocation by far and OOMs large-n configs.)
-    Gt_all = jnp.einsum("krq,rs->kqs", ctx.V, ZG)      # (nrho, R, S)
-    Wt_all = jnp.einsum("krq,rp->kqp", ctx.V, ctx.ZW)  # (nrho, R, p)
-    yt_all = jnp.einsum("krq,r->kq", ctx.V, ctx.Zy)    # (nrho, R)
+    # per-rho rotations as a loop of plain (R, R) matmuls: a single batched
+    # einsum over the rho axis would limb-expand ALL of V at once for the
+    # f64 dot (8 f32 copies = ~6 GB at R ~ 4000), OOMing large-n configs
+    Wy_stack = jnp.concatenate(
+        [ctx.ZW, ctx.Zy[:, None], ZG], axis=1)          # (R, p+1+S)
+    rot = jnp.stack([ctx.V[o].T @ Wy_stack
+                     for o in range(ctx.V.shape[0])])   # (nrho, R, p+1+S)
+    Wt_all = rot[:, :, :p]                              # (nrho, R, p)
+    yt_all = rot[:, :, p]                               # (nrho, R)
+    Gt_all = rot[:, :, p + 1:]                          # (nrho, R, S)
 
     lo, hi, n_grid, n_iters = delta_cfg
 
@@ -565,13 +563,20 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # --- stage 3: f64 Newton at each variant's best rho only --------------
     O_k = jax.nn.one_hot(k_best, ctx.S.shape[0], dtype=f64)     # (S, nrho)
 
-    # rotate the score factor T at the best rho only, via a chunked gather
-    # of each variant's V[k] plus a batched matmul: S R^2 C flops total,
-    # nrho x less f64 matmul work than rotating at every rho and masking
-    # (the f64 matmul ceiling is the kernel's roofline), and the V gather
-    # traffic (S R^2 words) rides HBM bandwidth.  Chunking bounds the
-    # gathered (chunk, R, R) eigenvector slab.
-    At_all = _rotate_at_best_rho(T, ctx.V, k_best)              # (S, R, C)
+    # rotate the score factor T at the best rho only, as a masked
+    # accumulation over the (static, small) rho grid.  This does nrho x
+    # more matmul FLOPs than gathering each variant's V[k] and batch-
+    # multiplying, but each rotation here is a FAT (R, R) @ (R, C*S) GEMM
+    # at the f64-matmul ceiling, whereas the gathered form's (chunk, R, R)
+    # @ (chunk, R, C) batched matmuls have an N dimension of C ~ 10 that
+    # tile-pads to 128 (~8% MXU utilization) — measured 0.50 s vs 0.31 s
+    # per 512-variant batch in favor of this form.  (The all-rho tensor
+    # (nrho, R, C, S) is never materialized either way.)
+    nrho_s = ctx.S.shape[0]
+    At_all = jnp.zeros((T.shape[2], T.shape[1], T.shape[0]), f64)  # (S, R, C)
+    for o in range(nrho_s):
+        To = jnp.einsum("rq,crs->sqc", ctx.V[o], T)             # (S, R, C)
+        At_all = At_all + O_k[:, o][:, None, None] * To
     gather_o = lambda t: jnp.einsum("so,or->sr", O_k, t)        # (S, R)
     gather_s = lambda t: jnp.einsum("so,ors->sr", O_k, t)       # (S, R)
     TS_k = dict(
