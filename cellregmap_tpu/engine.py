@@ -35,6 +35,14 @@ from .models import pvalues as pv_mod
 from .ops.linalg import spd_solve, sym_pseudo_solve
 
 
+# Cell-axis blocking of the Khatri-Rao contractions: bounds the ~8x f32
+# limb expansion XLA's f64 matmul applies to each operand (see
+# _kr_contract).  Module-level so tests can force the blocked path on
+# small shapes.
+_KR_BLOCK_ELEMS = 4.7e7
+_KR_MIN_BLOCK = 1024
+
+
 class NullContext(NamedTuple):
     """Precomputed per-dataset state for the interaction/association scans."""
 
@@ -143,7 +151,7 @@ def _kr_contract(U, V, G):
     p = V.shape[1]
     S = G.shape[1]
     kdim = max(K, p * S)
-    nb = max(1024, int(4.7e7 / max(kdim, 1)))
+    nb = max(_KR_MIN_BLOCK, int(_KR_BLOCK_ELEMS / max(kdim, 1)))
     if nb >= n:
         KR = (V[:, :, None] * G[:, None, :]).reshape(n, p * S)
         return (U.T @ KR).reshape(K, p, S)

@@ -134,3 +134,29 @@ def test_batched_small_chol_and_solve():
         X = np.asarray(batched_small_cho_solve(jnp.asarray(L),
                                                jnp.asarray(B)))
         assert_allclose(X, np.linalg.solve(A, B), rtol=1e-9, atol=1e-11)
+
+
+def test_blocked_kr_contract_matches_direct(monkeypatch):
+    """The cell-axis-blocked Khatri-Rao path (used at large n to bound
+    XLA's f64 limb-expansion buffers) must equal the one-shot matmul."""
+    import numpy as np
+    import jax.numpy as jnp
+    from numpy.testing import assert_allclose
+    from cellregmap_tpu import engine
+
+    rng = np.random.default_rng(5)
+    n, K, p, S = 300, 7, 3, 5
+    U = rng.normal(size=(n, K))
+    V = rng.normal(size=(n, p))
+    G = rng.normal(size=(n, S))
+    direct = np.einsum("nk,np,ns->kps", U, V, G)
+
+    out = np.asarray(engine._kr_contract(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(G)))
+    assert_allclose(out, direct, rtol=1e-12)
+
+    monkeypatch.setattr(engine, "_KR_BLOCK_ELEMS", 1.0)
+    monkeypatch.setattr(engine, "_KR_MIN_BLOCK", 64)  # 300 -> 5 blocks + pad
+    blocked = np.asarray(engine._kr_contract(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(G)))
+    assert_allclose(blocked, direct, rtol=1e-12)
