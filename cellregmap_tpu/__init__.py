@@ -45,6 +45,7 @@ from .api import (
     estimate_betas,
     get_L_values,
 )
+from .plink_scan import scan_interaction_plink
 from .utils.maf import compute_maf
 from .models.pvalues import (
     lrt_pvalues,
@@ -72,6 +73,7 @@ __all__ = [
     "run_interaction_multigene",
     "estimate_betas",
     "get_L_values",
+    "scan_interaction_plink",
     "compute_maf",
     "lrt_pvalues",
     "davies_pvalue",

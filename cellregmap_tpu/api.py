@@ -251,14 +251,100 @@ class CellRegMap:
                 for k in ("rho1", "e2", "g2", "eps2")}
         info["Q"] = res["Q"]
         info["lambdas"] = lambdas
-        info["pv_liu"] = res["pv_liu"]
-        info["pv_saddlepoint"] = res["pv_saddlepoint"]
+        # in davies mode the device approximations are skipped entirely —
+        # don't surface placeholder arrays as if they were real p-values
+        if cfg.pvalue_method != "davies":
+            info["pv_liu"] = res["pv_liu"]
+            info["pv_saddlepoint"] = res["pv_saddlepoint"]
         if timers is not None:
             info["timers"] = timers.summary()
             trace.log_event("scan_interaction", n_snps=n_snps, batch=batch,
                             **{f"s_{k.rsplit('/', 1)[-1]}": round(v, 4)
                                for k, v in timers.summary().items()})
         return np.asarray(pvalues, float), info
+
+    def scan_interaction_multigene(self, Y, G, gene_batch: int = 16):
+        """Interaction scan for many genes sharing this factorization.
+
+        ``Y`` is (n_cells, n_genes); genes x variants run in ONE compiled
+        program per (gene-tile, variant-batch): the genotype contractions
+        and rotations are shared across genes inside the kernel (see
+        engine.interaction_multigene_batch), so at 16 genes the per-pair
+        cost is a fraction of the per-gene loop's.  Returns
+        ``(pvalues (n_genes, n_snps), info)`` with info arrays shaped
+        (n_genes, n_snps).  New capability vs the reference (which rebuilds
+        everything per gene, _cellregmap.py:63-131).
+        """
+        cfg = self._cfg
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        if not np.isfinite(Y).all():
+            raise ValueError("Y contains non-finite values")
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_genes = Y.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+
+        # per-(gene, variant) HBM: the rotated y-family (nrho, R) tensors
+        # (~2 live f64 copies at 32 B/elem), the best-rho score factor and
+        # per-gene gathers (~(3C + 6) R), per gene tile
+        R = int(self._ctx.S.shape[1])
+        nrho = int(self._ctx.S.shape[0])
+        C = int(self._ctx.E0.shape[1])
+        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 8 * 2
+        batch = min(cfg.snp_batch, self._auto_batch_cap(),
+                    max(16, int(5e9 / per_gv / gtile)), max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        Yp, _ = _pad_batch(Y, gtile)
+
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
+        Z, W = self._ctx.Z, self._ctx.W
+        tiles = []
+        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
+                                cfg.progress, "scan_multigene"):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
+            ctx_g = self._ctx._replace(
+                y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            outs = _pipelined(
+                range(0, Gp.shape[1], batch),
+                lambda start: engine.interaction_multigene_kernel(
+                    ctx_g, jnp.asarray(Gp[:, start : start + batch],
+                                       self._dtype),
+                    jnp.asarray(Gp[:, start : start + batch], self._dtype),
+                    self._n, delta_cfg=delta_cfg,
+                    device_pvalues=(cfg.pvalue_method != "davies"),
+                    localize_f32=cfg.hybrid_localization,
+                ),
+                window=2,
+            )
+            tiles.append({k: np.concatenate([np.asarray(o[k]) for o in outs],
+                                            axis=1)[:, :n_snps]
+                          for k in outs[0]})
+        res = {k: np.concatenate([t[k] for t in tiles])[:n_genes]
+               for k in tiles[0]}
+
+        flat = lambda a: np.reshape(np.asarray(a), (n_genes * n_snps,)
+                                    + np.asarray(a).shape[2:])
+        pv_flat, lam_flat = self._pvalue_ladder(
+            flat(res["Q"]), flat(res["lambdas"]), flat(res["pv_liu"]),
+            flat(res["pv_saddlepoint"]),
+            Wmat=flat(res["Wmat"]) if "Wmat" in res else None,
+        )
+        pvalues = np.reshape(np.asarray(pv_flat, float), (n_genes, n_snps))
+        info = {k: np.asarray(res[k], float)
+                for k in ("rho1", "e2", "g2", "eps2")}
+        info["Q"] = np.asarray(res["Q"])
+        info["lambdas"] = np.reshape(np.asarray(lam_flat),
+                                     (n_genes, n_snps, -1))
+        if cfg.pvalue_method != "davies":
+            info["pv_liu"] = np.asarray(res["pv_liu"])
+            info["pv_saddlepoint"] = np.asarray(res["pv_saddlepoint"])
+        return pvalues, info
 
     def _auto_batch_cap(self, kind: str = "interaction") -> int:
         """Variant-batch cap keeping a kernel's temporaries within HBM.
@@ -321,8 +407,17 @@ class CellRegMap:
             pv = np.asarray(pv_sp, float).copy()
             refine = pv < cfg.davies_threshold
             if refine.any():
+                lam_ref = np.asarray(lambdas)[refine]
+                if Wmat is not None:
+                    # the device eigh is only ~1e-7 accurate; the refined
+                    # tail is exactly where 1e-8 agreement matters, so
+                    # recompute the refined subset's eigenvalues on host
+                    # LAPACK from the weight matrices
+                    Wm = np.asarray(Wmat, float)[refine]
+                    lam_ref = np.linalg.eigvalsh(
+                        (Wm + np.swapaxes(Wm, -1, -2)) / 2)
                 pv[refine] = pv_mod.davies_pvalue_batch(
-                    np.asarray(Q)[refine], np.asarray(lambdas)[refine],
+                    np.asarray(Q)[refine], lam_ref,
                     lim=cfg.davies_lim, acc=cfg.davies_acc,
                     lambda_filter_ratio=cfg.lambda_filter_ratio,
                 )
@@ -539,29 +634,27 @@ def run_association_fast(y, W, E, G, hK=None,
 
 
 def run_interaction_multigene(Y, E, G, W=None, E1=None, E2=None, hK=None,
+                              Ls=None, gene_batch: int = 16,
                               config: ScanConfig = DEFAULT_CONFIG):
     """Interaction scan across many genes sharing one factorization.
 
     ``Y`` is (n_cells, n_genes); the covariance family (E, W, K) is
-    factorized once, each gene swaps in its phenotype rotations, and the
-    compiled batched kernel is reused across genes.  Returns
-    ``(pvalues (n_genes, n_snps), infos list)``.  New capability vs the
-    reference (which rebuilds everything per gene).
+    factorized once and genes x variants run through the gene-batched
+    kernel (engine.interaction_multigene_batch): the genotype contractions
+    are computed once per variant batch and shared across all genes in a
+    tile.  Returns ``(pvalues (n_genes, n_snps), info)`` with info arrays
+    shaped (n_genes, n_snps).  New capability vs the reference (which
+    rebuilds everything per gene).
     """
     Y = np.asarray(Y, float)
     if Y.ndim == 1:
         Y = Y[:, None]
     E1 = E if E1 is None else E1
     E2 = E if E2 is None else E2
-    Ls = None if hK is None else get_L_values(hK, E2)
+    if Ls is None and hK is not None:
+        Ls = get_L_values(hK, E2)
     base = CellRegMap(y=Y[:, 0], E=E, W=W, E1=E1, Ls=Ls, config=config)
-    pvs, infos = [], []
-    for j in range(Y.shape[1]):
-        crm = base if j == 0 else base.with_phenotype(Y[:, j])
-        pv, info = crm.scan_interaction(G)
-        pvs.append(pv)
-        infos.append(info)
-    return np.stack(pvs), infos
+    return base.scan_interaction_multigene(Y, G, gene_batch=gene_batch)
 
 
 def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,

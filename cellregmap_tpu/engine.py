@@ -288,14 +288,16 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # allocation by far and OOMs large-n configs.)
     # per-rho rotations as a loop of plain (R, R) matmuls: a single batched
     # einsum over the rho axis would limb-expand ALL of V at once for the
-    # f64 dot (8 f32 copies = ~6 GB at R ~ 4000), OOMing large-n configs
-    Wy_stack = jnp.concatenate(
-        [ctx.ZW, ctx.Zy[:, None], ZG], axis=1)          # (R, p+1+S)
-    rot = jnp.stack([ctx.V[o].T @ Wy_stack
-                     for o in range(ctx.V.shape[0])])   # (nrho, R, p+1+S)
+    # f64 dot (8 f32 copies = ~6 GB at R ~ 4000), OOMing large-n configs.
+    # The phenotype rotation is kept SEPARATE from the W/G rotation so the
+    # gene-batched scan (vmap over y) shares all genotype rotations across
+    # genes — only yt_all and the small y-Grams acquire a gene axis.
+    WG_stack = jnp.concatenate([ctx.ZW, ZG], axis=1)    # (R, p+S)
+    rot = jnp.stack([ctx.V[o].T @ WG_stack
+                     for o in range(ctx.V.shape[0])])   # (nrho, R, p+S)
     Wt_all = rot[:, :, :p]                              # (nrho, R, p)
-    yt_all = rot[:, :, p]                               # (nrho, R)
-    Gt_all = rot[:, :, p + 1:]                          # (nrho, R, S)
+    Gt_all = rot[:, :, p:]                              # (nrho, R, S)
+    yt_all = jnp.einsum("orq,r->oq", ctx.V, ctx.Zy)     # (nrho, R)
 
     lo, hi, n_grid, n_iters = delta_cfg
 
@@ -696,6 +698,42 @@ interaction_kernel = functools.partial(
                              "device_pvalues", "profile_stage",
                              "newton_f32", "newton_f64", "localize_f32"))
 )
+
+
+def interaction_multigene_batch(ctx: NullContext, G, G_score, n: int,
+                                delta_cfg=(-18.0, 18.0, 64, 60),
+                                saddle_iters=40,
+                                device_pvalues: bool = True,
+                                newton_f32: int = 6, newton_f64: int = 3,
+                                localize_f32: bool = True):
+    """Gene-batched interaction scan: genes x variants in ONE program.
+
+    ``ctx``'s phenotype fields (y, Zy, Wy, yy) carry a leading gene axis;
+    everything else is the shared per-dataset state.  vmap batches only the
+    y-dependent tensors, so the heavy genotype contractions (Khatri-Rao
+    rotate, per-rho W/G rotations, the score-factor rotation inputs) are
+    computed ONCE and shared across genes — the per-gene increment is the
+    small y-rotation family plus the per-(gene, variant) REML fits.  The
+    reference re-runs its whole serial scan per gene
+    (_cellregmap.py:63-131,317-440).
+    """
+    axes = NullContext(y=0, W=None, E0=None, Z=None, V=None, S=None,
+                       rho=None, Zy=0, ZW=None, WW=None, Wy=0, yy=0)
+
+    def one_gene(c):
+        return interaction_batch(
+            c, G, G_score, n, delta_cfg=delta_cfg,
+            saddle_iters=saddle_iters, device_pvalues=device_pvalues,
+            newton_f32=newton_f32, newton_f64=newton_f64,
+            localize_f32=localize_f32)
+
+    return jax.vmap(one_gene, in_axes=(axes,))(ctx)
+
+
+interaction_multigene_kernel = jax.jit(
+    interaction_multigene_batch,
+    static_argnames=("n", "delta_cfg", "saddle_iters", "device_pvalues",
+                     "newton_f32", "newton_f64", "localize_f32"))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "restricted", "delta_cfg"))

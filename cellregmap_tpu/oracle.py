@@ -190,15 +190,6 @@ def score_statistic_liu_params(q, weights):
     }
 
 
-def qmin(liu_params):
-    """SKAT-O style per-rho quantile combination (reference _math.py:183-201).
-
-    Pure scipy; the single implementation lives in models.pvalues."""
-    from .models.pvalues import qmin as _qmin
-
-    return _qmin(liu_params)
-
-
 def imhof_sf(q, lambdas, epsabs=1e-13, epsrel=1e-11):
     """Pr(Q > q) for Q = sum_i lambda_i chi2_1 by Imhof (1961) inversion.
 

@@ -43,7 +43,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     import logging
 
     log = logging.getLogger("cellregmap_tpu")
-    if jax._src.distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         log.debug("jax.distributed already initialized; skipping")
         return
     log.info(

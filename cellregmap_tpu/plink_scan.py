@@ -1,0 +1,190 @@
+"""Streaming, checkpointed interaction scans straight from PLINK filesets.
+
+The reference has no genotype IO at all — users must materialize a full
+(n_samples x n_variants) matrix in memory before calling ``run_interaction``
+(/root/reference/cellregmap/_cellregmap.py:547-587).  Here variant blocks
+stream from the native .bed decoder (utils/plink.py), get donor->cell
+expanded, MAF-filtered, imputed and standardized on the fly, and run through
+the batched device kernel with a durable per-block checkpoint — a crashed
+100k-variant scan resumes at its last completed block.
+
+One-command usage (see ``main``)::
+
+    python -m cellregmap_tpu.plink_scan --bed cohort --data dataset.npz \
+        --out results.npz --checkpoint ckpt_dir
+
+where ``dataset.npz`` holds cell-level ``y``, ``E`` and optionally ``W``,
+``hK``, and ``donor_to_cell`` (int indices mapping each cell to a .fam row)
+or ``donor_ids`` (per-cell donor IIDs matched against the .fam).
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ._config import DEFAULT_CONFIG, ScanConfig
+from .api import CellRegMap, get_L_values
+from .parallel.checkpoint import ScanCheckpoint
+from .utils.maf import compute_maf
+from .utils.plink import PlinkReader
+
+
+def resolve_donor_to_cell(reader: PlinkReader, donor_to_cell=None,
+                          donor_ids=None) -> np.ndarray:
+    """Per-cell row indices into the .fam sample table."""
+    if donor_to_cell is not None:
+        idx = np.asarray(donor_to_cell, int)
+        if idx.min() < 0 or idx.max() >= reader.n_samples:
+            raise ValueError("donor_to_cell index out of .fam range")
+        return idx
+    if donor_ids is None:
+        raise ValueError("need donor_to_cell or donor_ids")
+    iid_to_row = {iid: i for i, (_, iid) in enumerate(reader.samples)}
+    try:
+        return np.asarray([iid_to_row[str(d)] for d in np.asarray(donor_ids)])
+    except KeyError as e:
+        raise ValueError(f"donor id {e} not present in {reader.prefix}.fam")
+
+
+def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
+                           donor_to_cell=None, donor_ids=None,
+                           block_size: int = 2048, maf_min: float = 0.0,
+                           standardize: bool = True,
+                           checkpoint: Optional[str] = None,
+                           progress: bool = False):
+    """Checkpointed streaming interaction scan over a PLINK fileset.
+
+    Per block: decode donor-level genotypes, mean-impute missing calls,
+    drop variants with MAF < ``maf_min`` or zero variance, expand donors to
+    cells, (optionally) standardize the cell-level columns, and run
+    ``crm.scan_interaction``.  Completed blocks are persisted to
+    ``checkpoint`` (cursor + accumulated tables); a rerun with the same
+    fileset and block size resumes after the last durable block.
+
+    Returns ``(pvalues, info, variant_index)`` where ``variant_index`` maps
+    each result row to its .bim row (post-filter).
+    """
+    reader = PlinkReader(prefix)
+    d2c = resolve_donor_to_cell(reader, donor_to_cell, donor_ids)
+    if d2c.shape[0] != crm.n_samples:
+        raise ValueError("donor map length != model's n_cells")
+
+    n_blocks = -(-reader.n_variants // block_size)
+    meta = {"prefix": str(prefix), "n_variants": reader.n_variants,
+            "block_size": block_size, "maf_min": maf_min}
+
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
+    start_block = 0
+    acc: dict = {}
+    if ckpt is not None:
+        state = ckpt.load()
+        if state is not None and all(
+                state["meta"].get(k) == v for k, v in meta.items()):
+            start_block = state["cursor"]
+            acc = dict(state["results"])
+
+    def _append(name, arr):
+        arr = np.asarray(arr)
+        acc[name] = (np.concatenate([acc[name], arr])
+                     if name in acc else arr)
+
+    blocks = range(start_block, n_blocks)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            blocks = tqdm(blocks, desc="scan_plink", unit="block")
+        except ImportError:
+            pass
+
+    for b in blocks:
+        v0 = b * block_size
+        v1 = min(v0 + block_size, reader.n_variants)
+        Gd = reader.read(v0, v1)                      # (n_donors, B)
+        maf = np.asarray(compute_maf(Gd), float)
+        # mean-impute missing donor calls
+        miss = np.isnan(Gd)
+        if miss.any():
+            mu = np.nanmean(np.where(miss, np.nan, Gd), axis=0)
+            Gd = np.where(miss, mu[None, :], Gd)
+        sd = Gd.std(axis=0)
+        keep = (maf >= maf_min) & (sd > 0) & np.isfinite(maf)
+        kept_idx = v0 + np.flatnonzero(keep)
+        if keep.any():
+            Gc = Gd[d2c][:, keep]                     # cells x kept
+            if standardize:
+                Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+            pv, info = crm.scan_interaction(Gc)
+            _append("pvalues", pv)
+            _append("maf", maf[keep])
+            for k in ("rho1", "e2", "g2", "eps2", "Q"):
+                _append(k, info[k])
+        _append("variant_index", kept_idx)
+        if ckpt is not None:
+            ckpt.save(b + 1, acc, meta)
+
+    if ckpt is not None:
+        ckpt.clear()
+    pv = acc.get("pvalues", np.zeros(0))
+    vidx = acc.get("variant_index", np.zeros(0, int))
+    info = {k: acc[k] for k in ("rho1", "e2", "g2", "eps2", "Q", "maf")
+            if k in acc}
+    return pv, info, vidx
+
+
+def main(argv=None):
+    """CLI: checkpointed interaction scan from a .bed file."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m cellregmap_tpu.plink_scan",
+        description="Streaming checkpointed CellRegMap interaction scan "
+                    "over a PLINK fileset")
+    ap.add_argument("--bed", required=True,
+                    help="PLINK prefix (prefix.bed/.bim/.fam)")
+    ap.add_argument("--data", required=True,
+                    help="npz with y, E[, W, hK, donor_to_cell|donor_ids]")
+    ap.add_argument("--out", required=True, help="output npz path")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint dir")
+    ap.add_argument("--block-size", type=int, default=2048)
+    ap.add_argument("--maf-min", type=float, default=0.0)
+    ap.add_argument("--snp-batch", type=int, default=None)
+    ap.add_argument("--pvalue-method", default=None)
+    args = ap.parse_args(argv)
+
+    with np.load(args.data, allow_pickle=False) as z:
+        d = {k: z[k] for k in z.files}
+    cfg = DEFAULT_CONFIG
+    overrides = {}
+    if args.snp_batch is not None:
+        overrides["snp_batch"] = args.snp_batch
+    if args.pvalue_method is not None:
+        overrides["pvalue_method"] = args.pvalue_method
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    E = d["E"]
+    Ls = get_L_values(d["hK"], E) if "hK" in d else None
+    crm = CellRegMap(y=d["y"], E=E, W=d.get("W"), Ls=Ls, config=cfg)
+    pv, info, vidx = scan_interaction_plink(
+        crm, args.bed,
+        donor_to_cell=d.get("donor_to_cell"),
+        donor_ids=d.get("donor_ids"),
+        block_size=args.block_size, maf_min=args.maf_min,
+        checkpoint=args.checkpoint, progress=True,
+    )
+    np.savez(args.out, pvalues=pv, variant_index=vidx, **info)
+    print(json.dumps({"n_tested": int(pv.shape[0]),
+                      "n_variants": int(vidx.shape[0]),
+                      "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via CLI test
+    import sys
+
+    sys.exit(main())

@@ -32,9 +32,7 @@ def compute_maf(X):
         s0 = np.nansum(X, axis=0)
         denom = 2 * np.logical_not(np.isnan(X)).sum(axis=0)
     s0 = s0 / denom
-    maf = np.minimum(s0, 1 - s0) if mod not in ("pandas", "xarray") else (
-        np.minimum(s0, 1 - s0)
-    )
+    maf = np.minimum(s0, 1 - s0)
     if hasattr(maf, "name"):
         maf.name = "maf"
     return maf

@@ -214,7 +214,7 @@ def test_multigene_scan_matches_per_gene():
     d = _dataset(seed=41, S=4)
     rng = np.random.default_rng(5)
     Y = np.stack([d["y"], d["y"] + rng.normal(size=d["n"])], axis=1)
-    pvs, infos = crt.run_interaction_multigene(
+    pvs, info = crt.run_interaction_multigene(
         Y, d["E"], d["G"], W=d["W"], hK=d["hK"]
     )
     assert pvs.shape == (2, 4)
@@ -222,3 +222,55 @@ def test_multigene_scan_matches_per_gene():
     pv1, _ = crt.run_interaction(y=Y[:, 1], E=d["E"], G=d["G"], W=d["W"],
                                  hK=d["hK"])
     assert_allclose(pvs[1], pv1, atol=1e-9)
+
+
+def test_multigene_tiling_and_padding():
+    """5 genes through tiles of 2 (ragged last tile) must equal the
+    per-gene loop exactly, including the info contract."""
+    d = _dataset(seed=43, S=5)
+    rng = np.random.default_rng(6)
+    Y = d["y"][:, None] + 0.3 * rng.normal(size=(d["n"], 5))
+    pvs, info = crt.run_interaction_multigene(
+        Y, d["E"], d["G"], W=d["W"], hK=d["hK"], gene_batch=2
+    )
+    assert pvs.shape == (5, 5)
+    assert info["rho1"].shape == (5, 5)
+    crm = crt.CellRegMap(y=Y[:, 0], E=d["E"], W=d["W"],
+                         Ls=crt.get_L_values(d["hK"], d["E"]))
+    for j in range(5):
+        pv_j, info_j = (crm if j == 0 else
+                        crm.with_phenotype(Y[:, j])).scan_interaction(d["G"])
+        assert_allclose(pvs[j], pv_j, atol=1e-9)
+        assert_allclose(info["rho1"][j], info_j["rho1"], atol=0)
+
+
+def test_davies_info_has_no_placeholder_pvalues():
+    d = _dataset(seed=47, S=3)
+    crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"])
+    _, info = crm.scan_interaction(d["G"])  # default method is davies
+    assert "pv_liu" not in info
+    assert "pv_saddlepoint" not in info
+    cfg = crt.ScanConfig(pvalue_method="liu")
+    crm2 = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"],
+                          config=cfg)
+    _, info2 = crm2.scan_interaction(d["G"])
+    assert "pv_liu" in info2 and "pv_saddlepoint" in info2
+    assert np.all((info2["pv_liu"] > 0) & (info2["pv_liu"] <= 1.0))
+
+
+def test_auto_mode_refined_matches_davies_1e8():
+    """auto mode's Davies refinement must agree with davies mode to 1e-8:
+    the refined subset's mixture weights are host-recomputed from Wmat
+    rather than taken from the ~1e-7-accurate device eigh."""
+    d = _dataset(seed=53, S=8)
+    # strong signal so several variants fall under the refinement threshold
+    d["y"] = d["y"] + 1.5 * d["G"][:, 1] * d["E"][:, 0]
+    cfg_auto = crt.ScanConfig(pvalue_method="auto", davies_threshold=0.5)
+    cfg_dav = crt.ScanConfig(pvalue_method="davies")
+    pv_auto, _ = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"],
+                                config=cfg_auto).scan_interaction(d["G"])
+    pv_dav, _ = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"],
+                               config=cfg_dav).scan_interaction(d["G"])
+    refined = pv_auto < 0.5
+    assert refined.any()
+    assert_allclose(pv_auto[refined], pv_dav[refined], atol=1e-8)

@@ -46,3 +46,111 @@ def test_metadata(fileset):
     rd = plink.PlinkReader(prefix)
     assert rd.variants[0].snp_id == "snp0"
     assert rd.samples[0][1] == "iid0"
+
+
+# ---------------------------------------------------------------------------
+# Streaming checkpointed scan driver (plink_scan)
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def cohort(tmp_path):
+    """Donor-level fileset (>=10k variants) + cell-level model data."""
+    rng = np.random.default_rng(11)
+    n_donors, n_cells, C, m = 50, 150, 3, 10_240
+    maf = rng.uniform(0.05, 0.5, size=m)
+    Gd = rng.binomial(2, maf[None, :].repeat(n_donors, 0)).astype(float)
+    Gd[0, :8] = np.nan                      # some missing calls
+    Gd[:, 17] = 0.0                         # a monomorphic variant
+    prefix = str(tmp_path / "cohort")
+    donor_ids = [f"donor{i}" for i in range(n_donors)]
+    plink.write_bed(prefix, Gd, sample_ids=donor_ids)
+    d2c = np.repeat(np.arange(n_donors), 3)
+    E = rng.normal(size=(n_cells, C))
+    hK = np.zeros((n_cells, n_donors))
+    hK[np.arange(n_cells), d2c] = 1.0
+    y = (rng.normal(size=n_cells) + 0.4 * E @ rng.normal(size=C)
+         + 0.3 * hK @ rng.normal(size=n_donors))
+    return dict(prefix=prefix, Gd=Gd, d2c=d2c, E=E, hK=hK, y=y,
+                donor_ids=donor_ids, n_cells=n_cells)
+
+
+def _make_crm(c):
+    import cellregmap_tpu as crt
+
+    cfg = crt.ScanConfig(pvalue_method="liu", snp_batch=256)
+    Ls = crt.get_L_values(c["hK"], c["E"])
+    return crt.CellRegMap(y=c["y"], E=c["E"], Ls=Ls, config=cfg)
+
+
+def test_streaming_scan_matches_direct(cohort):
+    from cellregmap_tpu.plink_scan import scan_interaction_plink
+
+    crm = _make_crm(cohort)
+    pv, info, vidx = scan_interaction_plink(
+        crm, cohort["prefix"], donor_ids=np.asarray(
+            cohort["donor_ids"])[cohort["d2c"]],
+        block_size=4096, maf_min=0.01)
+    # expected filter: NaN-aware MAF >= 0.01 and non-monomorphic
+    Gd = cohort["Gd"]
+    frq = np.nansum(Gd, axis=0) / (2 * np.sum(~np.isnan(Gd), axis=0))
+    maf = np.minimum(frq, 1 - frq)
+    mu = np.nanmean(Gd, axis=0)
+    Gdi = np.where(np.isnan(Gd), mu[None, :], Gd)
+    keep = (maf >= 0.01) & (Gdi.std(0) > 0) & np.isfinite(maf)
+    assert 17 not in vidx
+    assert np.array_equal(vidx, np.flatnonzero(keep))
+    assert pv.shape == vidx.shape
+    # direct in-memory scan of the first block's head must agree exactly
+    head = vidx[vidx < 64]
+    Gc = Gdi[cohort["d2c"]][:, head]
+    Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+    pv_direct, _ = crm.scan_interaction(Gc)
+    assert_allclose(pv[: head.size], pv_direct, atol=1e-12)
+
+
+def test_streaming_scan_crash_resume(cohort, tmp_path):
+    from cellregmap_tpu.plink_scan import scan_interaction_plink
+
+    crm = _make_crm(cohort)
+    ck = str(tmp_path / "ck")
+    calls = []
+    real = crm.scan_interaction
+
+    def wrapped(G, **kw):
+        calls.append(G.shape[1])
+        if len(calls) == 3:
+            raise RuntimeError("simulated crash")
+        return real(G, **kw)
+
+    crm.scan_interaction = wrapped
+    with pytest.raises(RuntimeError):
+        scan_interaction_plink(crm, cohort["prefix"],
+                               donor_to_cell=cohort["d2c"],
+                               block_size=2048, checkpoint=ck)
+    n_before = len(calls)
+    crm.scan_interaction = real
+    pv, info, vidx = scan_interaction_plink(
+        crm, cohort["prefix"], donor_to_cell=cohort["d2c"],
+        block_size=2048, checkpoint=ck)
+    # the rerun resumed after the 2 durable blocks (block 3 crashed before
+    # its checkpoint): 5 total - 2 done = 3 blocks re-scanned
+    pv_full, _, vidx_full = scan_interaction_plink(
+        crm, cohort["prefix"], donor_to_cell=cohort["d2c"], block_size=2048)
+    assert_allclose(pv, pv_full, atol=1e-12)
+    assert np.array_equal(vidx, vidx_full)
+
+
+def test_plink_scan_cli(cohort, tmp_path):
+    from cellregmap_tpu.plink_scan import main
+
+    data = str(tmp_path / "data.npz")
+    np.savez(data, y=cohort["y"], E=cohort["E"], hK=cohort["hK"],
+             donor_to_cell=cohort["d2c"])
+    out = str(tmp_path / "res.npz")
+    rc = main(["--bed", cohort["prefix"], "--data", data, "--out", out,
+               "--block-size", "4096", "--maf-min", "0.01",
+               "--pvalue-method", "liu",
+               "--checkpoint", str(tmp_path / "ck2")])
+    assert rc == 0
+    with np.load(out) as z:
+        assert z["pvalues"].shape[0] > 10_000
+        assert np.all((z["pvalues"] > 0) & (z["pvalues"] <= 1))

@@ -207,3 +207,89 @@ def test_interaction_pvalue_equality_on_reference_data(ref_data):
     # sanity: the data's noncausal p-values are not degenerate
     noncausal = np.delete(pv, [10, 11])
     assert np.median(noncausal) > 0.1
+
+
+def test_rho_argmax_first_max_wins_on_exact_ties():
+    """The reference keeps the FIRST rho at an exact lml tie (strict ``>``
+    over the grid in order, /root/reference/cellregmap/_cellregmap.py:345-357).
+    A duplicated-rho grid makes every per-rho problem bitwise identical, so
+    the engine's argmax must return index 0 and report the first grid value.
+    This test fails if the argmax/tie semantics ever drift (e.g. last-max,
+    or a reduction reordering that breaks exact equality of tied lmls)."""
+    import jax.numpy as jnp
+    from cellregmap_tpu import engine
+
+    rng = np.random.default_rng(3)
+    n, C, S = 50, 3, 4
+    E = rng.normal(size=(n, C))
+    W = np.ones((n, 1))
+    hK = rng.normal(size=(n, 6)) / np.sqrt(6)
+    import cellregmap_tpu as crt
+
+    Ls = [np.asarray(L) for L in crt.get_L_values(hK, E)]
+    y = rng.normal(size=n) + 0.3 * E @ rng.normal(size=C)
+    G = rng.choice([0.0, 1.0, 2.0], size=(n, S))
+    G = (G - G.mean(0)) / G.std(0)
+
+    rho_tied = np.array([0.4, 0.4, 0.4])
+    ctx = engine.build_null_context(y, W, E, E0=E, Ls=Ls,
+                                    rho_grid=rho_tied)
+    out = engine.interaction_kernel(ctx, jnp.asarray(G), jnp.asarray(G), n)
+    # identical problems => identical lmls => first index wins for all SNPs
+    assert np.all(np.asarray(out["rho1"]) == rho_tied[0])
+
+
+def test_delta_optimum_matches_brent_high_precision():
+    """Engine REML delta vs an independent bounded-Brent scalar search at
+    xatol 1e-12 (the optimix/Brent family the reference's glimix-core fit
+    uses, _cellregmap.py:351-352): optima agree to <=1e-7 in delta and the
+    engine's lml is never materially below Brent's (same optimum found)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import minimize_scalar
+    from cellregmap_tpu import engine
+    from cellregmap_tpu.models import lmm as lmm_mod
+
+    rng = np.random.default_rng(17)
+    n, C, S = 80, 3, 6
+    E = rng.normal(size=(n, C))
+    W = np.ones((n, 1))
+    import cellregmap_tpu as crt
+
+    hK = rng.normal(size=(n, 5)) / np.sqrt(5)
+    Ls = [np.asarray(L) for L in crt.get_L_values(hK, E)]
+    y = rng.normal(size=n) + 0.5 * E @ rng.normal(size=C)
+    G = rng.choice([0.0, 1.0, 2.0], size=(n, S))
+    G = (G - G.mean(0)) / np.maximum(G.std(0), 1e-9)
+
+    ctx = engine.build_null_context(y, W, E, E0=E, Ls=Ls)
+    out = engine.interaction_kernel(ctx, jnp.asarray(G), jnp.asarray(G), n)
+    k_best = np.asarray([np.flatnonzero(
+        np.asarray(ctx.rho) == r)[0] for r in np.asarray(out["rho1"])])
+
+    Z = np.asarray(ctx.Z)
+    V = np.asarray(ctx.V)
+    Ssp = np.asarray(ctx.S)
+    for s in range(S):
+        k = k_best[s]
+        X = np.concatenate([W, G[:, [s]]], axis=1)
+        Xz = Z.T @ X
+        Xt = V[k].T @ Xz
+        yt = V[k].T @ (Z.T @ y)
+        data = lmm_mod.EigData(
+            S=jnp.asarray(Ssp[k]), Xt=jnp.asarray(Xt), yt=jnp.asarray(yt),
+            Cxx=jnp.asarray(X.T @ X - Xt.T @ Xt),
+            cxy=jnp.asarray(X.T @ y - Xt.T @ yt),
+            cyy=jnp.asarray(y @ y - yt @ yt),
+        )
+
+        def neg(logit_d):
+            return -float(lmm_mod.lml_at_delta_eig(
+                float(jax.nn.sigmoid(logit_d)), data, n, True)[0])
+
+        res = minimize_scalar(neg, bounds=(-18.0, 18.0), method="bounded",
+                              options={"xatol": 1e-12})
+        d_brent = float(jax.nn.sigmoid(res.x))
+        d_eng = float(np.asarray(out["delta"])[s])
+        assert abs(d_eng - d_brent) < 1e-7, (s, d_eng, d_brent)
+        assert float(np.asarray(out["lml"])[s]) > -res.fun - 1e-8
