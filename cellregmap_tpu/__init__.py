@@ -40,6 +40,7 @@ from .api import (
     CellRegMap,
     run_association,
     run_association_fast,
+    run_association_fast_multigene,
     run_interaction,
     run_interaction_multigene,
     estimate_betas,
@@ -69,6 +70,7 @@ __all__ = [
     "CellRegMap",
     "run_association",
     "run_association_fast",
+    "run_association_fast_multigene",
     "run_interaction",
     "run_interaction_multigene",
     "estimate_betas",

@@ -501,6 +501,77 @@ class CellRegMap:
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
         return np.asarray(pv, float), self._assoc_info(fits, k)
 
+    def scan_association_fast_multigene(self, Y, G, gene_batch: int = 64):
+        """Closed-form association scan for many genes in one program.
+
+        ``Y`` is (n_cells, n_genes).  Per gene tile: the covariate-only
+        null fits over the rho grid run vmapped (one program for the whole
+        tile), then every (gene, variant) alternative lml comes from the
+        gene-batched fast scanner, whose genotype contractions are shared
+        across genes.  Returns ``(pvalues (n_genes, n_snps), info)`` with
+        per-gene info arrays.  New capability vs the reference, which
+        rebuilds its whole pipeline per gene (_cellregmap.py:63-131,
+        284-314).
+        """
+        cfg = self._cfg
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        if not np.isfinite(Y).all():
+            raise ValueError("Y contains non-finite values")
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_genes = Y.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+        batch = min(cfg.snp_batch, max(G.shape[1], 1))
+        Gp, n_snps = _pad_batch(G, batch)
+        Yp, _ = _pad_batch(Y, gtile)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        Z, W = self._ctx.Z, self._ctx.W
+        rho_grid = np.asarray(self._ctx.rho)
+
+        pv_tiles, info_tiles = [], []
+        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
+                                cfg.progress, "assoc_fast_multigene"):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
+            ctx_g = self._ctx._replace(
+                y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            fits, k = engine.null_association_multigene_kernel(
+                ctx_g, self._n, restricted=False, delta_cfg=delta_cfg)
+            fits = jax.device_get(fits)
+            k = np.asarray(k)
+            rows = np.arange(k.shape[0])
+            null_lml = fits.lml[rows, k]                     # (gtile,)
+            kj = jnp.asarray(k)
+            dj = jnp.asarray(fits.delta[rows, k], self._dtype)
+            outs = _pipelined(
+                range(0, Gp.shape[1], batch),
+                lambda start: engine.fast_scan_multigene_kernel(
+                    ctx_g, jnp.asarray(Gp[:, start : start + batch],
+                                       self._dtype),
+                    kj, dj, self._n).lml,
+            )
+            alt = np.concatenate([np.asarray(o) for o in outs],
+                                 axis=1)[:, :n_snps]         # (gtile, S)
+            pv_tiles.append(lrt_pvalues(null_lml[:, None], alt, dof=1,
+                                        clip_lo=cfg.pv_clip_lo,
+                                        clip_hi=cfg.pv_clip_hi))
+            rho1 = (rho_grid[k] if rho_grid.shape[0] > 1
+                    else np.ones(k.shape[0]))
+            v0 = fits.v0[rows, k]
+            info_tiles.append({
+                "rho1": rho1, "e2": v0 * rho1, "g2": v0 * (1 - rho1),
+                "eps2": fits.v1[rows, k],
+            })
+        pvalues = np.concatenate(pv_tiles)[:n_genes]
+        info = {kk: np.concatenate([t[kk] for t in info_tiles])[:n_genes]
+                for kk in info_tiles[0]}
+        return np.asarray(pvalues, float), info
+
     # -- effect sizes ------------------------------------------------------
     def predict_interaction(self, G, MAF):
         """Effect-size decomposition per variant (reference :137-205).
@@ -655,6 +726,26 @@ def run_interaction_multigene(Y, E, G, W=None, E1=None, E2=None, hK=None,
         Ls = get_L_values(hK, E2)
     base = CellRegMap(y=Y[:, 0], E=E, W=W, E1=E1, Ls=Ls, config=config)
     return base.scan_interaction_multigene(Y, G, gene_batch=gene_batch)
+
+
+def run_association_fast_multigene(Y, E, G, W=None, hK=None,
+                                   gene_batch: int = 64,
+                                   config: ScanConfig = DEFAULT_CONFIG):
+    """Closed-form association scan across many genes sharing one
+    factorization.
+
+    ``Y`` is (n_cells, n_genes).  The covariance family is factorized
+    once; per gene tile the null fits run vmapped and all (gene, variant)
+    alternative lmls come from the gene-batched fast scanner.  Returns
+    ``(pvalues (n_genes, n_snps), info)`` with per-gene info arrays.  New
+    capability vs the reference (which rebuilds everything per gene,
+    _cellregmap.py:502-531).
+    """
+    Y = np.asarray(Y, float)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    base = CellRegMap(y=Y[:, 0], E=E, W=W, hK=hK, config=config)
+    return base.scan_association_fast_multigene(Y, G, gene_batch=gene_batch)
 
 
 def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,

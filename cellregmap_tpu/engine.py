@@ -113,12 +113,11 @@ def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
         + (1 - rho_np)[:, None, None] * Gk[None]
     # The per-rho factorization runs once per dataset; LAPACK on host gives
     # full f64 accuracy (the TPU backend's QDWH eigh is only ~1e-7 and NaNs
-    # on singular inputs).  The rho points are independent, and LAPACK
-    # releases the GIL, so they factorize concurrently.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(len(Gz), 8)) as pool:
-        eigs = list(pool.map(_np.linalg.eigh, Gz))
+    # on singular inputs).  The rho points run SERIALLY: LAPACK's eigh is
+    # internally threaded over every core already, and oversubscribing it
+    # with a thread pool thrashes the cache (measured 9x slower at R=2520
+    # on a 2-core host: 188 s pooled vs 21 s serial).
+    eigs = [_np.linalg.eigh(g) for g in Gz]
     S = jnp.asarray(_np.maximum(_np.stack([e[0] for e in eigs]), 0.0), dtype)
     V = jnp.asarray(_np.stack([e[1] for e in eigs]), dtype)
 
@@ -817,6 +816,61 @@ def fast_scan_kernel(ctx: NullContext, G, k_rho, delta, n: int):
         ctx.WW - Wt.T @ Wt, ctx.Wy - Wt.T @ yt, ctx.yy - yt @ yt,
         Gt, CWG, cGy, cGG, n,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "restricted", "delta_cfg"))
+def null_association_multigene_kernel(ctx: NullContext, n: int,
+                                      restricted: bool = False,
+                                      delta_cfg=(-18.0, 18.0, 64, 60)):
+    """Covariate-only null fits for a gene batch in one program.
+
+    ``ctx``'s phenotype fields (y, Zy, Wy, yy) carry a leading gene axis
+    (the `interaction_multigene_batch` convention); the per-rho eigenbases
+    are shared.  Returns per-gene fits (leading gene axis) plus each gene's
+    best-rho index.  Reference: one serial 11-fit loop per gene
+    (_cellregmap.py:289-298).
+    """
+    axes = NullContext(y=0, W=None, E0=None, Z=None, V=None, S=None,
+                       rho=None, Zy=0, ZW=None, WW=None, Wy=0, yy=0)
+
+    def one_gene(c):
+        fits = _fit_over_rho(c, c.ZW, c.WW, c.Wy, n, restricted, delta_cfg)
+        return fits, jnp.argmax(fits.lml)
+
+    return jax.vmap(one_gene, in_axes=(axes,))(ctx)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def fast_scan_multigene_kernel(ctx: NullContext, G, k_rho, delta, n: int):
+    """Closed-form alternative lmls for all (gene, variant) pairs.
+
+    ``ctx``'s phenotype fields carry a leading gene axis; ``k_rho`` and
+    ``delta`` are per-gene (each gene's null picks its own best rho and
+    variance ratio).  The genotype contractions (Z^T G, W^T G, G^T Y, gg)
+    are computed once and shared across genes; the per-gene increment is
+    one best-rho rotation plus the rank-1 closed-form updates.  Reference
+    path per gene: _cellregmap.py:306-309 via glimix-core FastScanner.
+    """
+    ZG = ctx.Z.T @ G                                    # (R, S)
+    WG = ctx.W.T @ G                                    # (p, S)
+    gg = jnp.sum(G * G, axis=0)                         # (S,)
+    GY = G.T @ ctx.y.T                                  # (S, n_genes)
+
+    def one_gene(zy, wy, yy, gy, k, d):
+        Vb = jnp.take(ctx.V, k, axis=0)
+        Sb = jnp.take(ctx.S, k, axis=0)
+        Wt = Vb.T @ ctx.ZW
+        yt = Vb.T @ zy
+        Gt = Vb.T @ ZG
+        return lmm_mod.fast_scan(
+            d, Sb, Wt, yt,
+            ctx.WW - Wt.T @ Wt, wy - Wt.T @ yt, yy - yt @ yt,
+            Gt, WG - Wt.T @ Gt, gy - Gt.T @ yt,
+            gg - jnp.sum(Gt * Gt, axis=0), n,
+        )
+
+    return jax.vmap(one_gene, in_axes=(0, 0, 0, 1, 0, 0))(
+        ctx.Zy, ctx.Wy, ctx.yy, GY, k_rho, delta)
 
 
 # --------------------------------------------------------------------------

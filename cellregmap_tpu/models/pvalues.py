@@ -283,7 +283,8 @@ def lrt_pvalues(null_lml, alt_lmls, dof=1, clip_lo=1e-300,
     from scipy.stats import chi2 as _chi2
 
     lrs = np.clip(
-        -2 * float(null_lml) + 2 * np.asarray(alt_lmls, float), 1e-300, np.inf
+        -2 * np.asarray(null_lml, float) + 2 * np.asarray(alt_lmls, float),
+        1e-300, np.inf
     )
     pv = _chi2(df=dof).sf(lrs)
     return np.clip(pv, clip_lo, clip_hi)

@@ -244,6 +244,25 @@ def test_multigene_tiling_and_padding():
         assert_allclose(info["rho1"][j], info_j["rho1"], atol=0)
 
 
+def test_association_fast_multigene_matches_per_gene():
+    """Gene-batched fast association (ragged tiles) == the per-gene loop,
+    p-values and info, at full precision."""
+    d = _dataset(seed=51, S=5)
+    rng = np.random.default_rng(8)
+    Y = d["y"][:, None] + 0.3 * rng.normal(size=(d["n"], 3))
+    pvs, info = crt.run_association_fast_multigene(
+        Y, d["E"], d["G"], W=d["W"], hK=d["hK"], gene_batch=2
+    )
+    assert pvs.shape == (3, 5)
+    assert info["rho1"].shape == (3,)
+    for j in range(3):
+        pv_j, info_j = crt.run_association_fast(
+            y=Y[:, j], W=d["W"], E=d["E"], G=d["G"], hK=d["hK"])
+        assert_allclose(pvs[j], pv_j, atol=1e-10)
+        assert_allclose(info["rho1"][j], info_j["rho1"][0], atol=0)
+        assert_allclose(info["eps2"][j], info_j["eps2"][0], rtol=1e-7)
+
+
 def test_davies_info_has_no_placeholder_pvalues():
     d = _dataset(seed=47, S=3)
     crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"])
