@@ -1,10 +1,13 @@
 """Benchmark harness: north-star configs + roofline (BASELINE.json).
 
 Prints JSON lines; the LAST complete line is the official record.  The
-headline line (2k-cell interaction scan; round-1 continuity) is printed and
-flushed IMMEDIATELY after the headline measurement, so a driver timeout can
-never erase the round's record; each additional north-star config re-prints
-the enriched line as soon as it completes.
+driver captures only the final ~2000 characters of stdout, so every printed
+line is the COMPACT summary (hard-capped well under 1500 chars; see
+:func:`compact_summary` and tests/test_bench_output.py) while the full
+result detail is written to ``bench_extended.json`` after every config.
+The headline summary is printed and flushed IMMEDIATELY after the headline
+measurement, so a driver timeout can never erase the round's record; each
+additional north-star config re-prints the summary as soon as it completes.
 
 Backend warmup: on the axon remote-TPU backend the *first f64 program after
 server boot* triggers a one-time server-side compile event measured at
@@ -43,6 +46,70 @@ HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
 F64_BYTES = 8
 
 T_PROCESS_START = time.perf_counter()
+
+EXTENDED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_extended.json")
+
+# Pinned serial-baseline rate (tests/s) for the headline config, measured on
+# this host (2-core, serial LAPACK) in rounds 2-4; re-measured live on
+# BENCH_BASELINE_SNPS snps each run as a staleness check.  The live rate is
+# used when >0 snps are measured; the pin exists so the parity fields stay
+# meaningful even in BENCH_BASELINE_SNPS=0 smoke runs.
+PINNED_BASELINE_TPS = 0.0389
+
+
+def compact_summary(result):
+    """One machine-parseable line, hard-capped under 1500 characters.
+
+    The driver records only the last 2000 characters of stdout and
+    ``json.loads`` the final line; round 2 and round 3 both lost their
+    official record to a >2 KB final line (BENCH_r03.json "parsed": null).
+    Per-config entries are compressed to ``[headline_rate, total_s]``; the
+    full per-config detail lives in ``bench_extended.json``.
+    """
+    s = {}
+    for k in ("metric", "value", "unit", "vs_baseline",
+              "baseline_tests_per_sec",
+              "pvalue_max_abs_diff_vs_reference_style", "backend",
+              "warmup_s", "setup_s", "compile_s", "scan_s",
+              "kernel_tests_per_sec", "null_fits_per_sec"):
+        if k in result:
+            s[k] = result[k]
+    cfgs = {}
+    for name, c in result.get("configs", {}).items():
+        if not isinstance(c, dict):
+            continue
+        if "error" in c:
+            cfgs[name] = "error"
+        elif "skipped" in c:
+            cfgs[name] = "skipped"
+        else:
+            rate = next((c[k] for k in (
+                "tests_per_sec", "gene_variant_pairs_per_sec",
+                "steady_variants_per_sec", "variants_per_sec") if k in c),
+                None)
+            cfgs[name] = [rate, c.get("total_s")]
+    if cfgs:
+        s["configs"] = cfgs
+    if "total_bench_s" in result:
+        s["total_bench_s"] = result["total_bench_s"]
+    line = json.dumps(s, separators=(",", ":"))
+    if len(line) > 1500:  # hard cap: shed detail, never the headline
+        s.pop("configs", None)
+        line = json.dumps(s, separators=(",", ":"))
+    return line
+
+
+def emit(result):
+    """Print the compact summary line and persist the full result."""
+    try:
+        tmp = EXTENDED_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+        os.replace(tmp, EXTENDED_PATH)
+    except OSError:
+        pass
+    print(compact_summary(result), flush=True)
 
 
 def env_int(name, default):
@@ -151,7 +218,10 @@ def main():
     n_donors = env_int("BENCH_DONORS", 100)
     n_snps = env_int("BENCH_SNPS", 2048)
     batch = env_int("BENCH_BATCH", 512)
-    baseline_snps = env_int("BENCH_BASELINE_SNPS", 6)
+    # 2 snps keep a LIVE baseline + parity check at ~1/3 the round-3 cost
+    # (the 6-snp baseline burned ~150 s of the 520 s budget, VERDICT r3
+    # Weak #2); the pinned rate guards the vs_baseline field in smoke runs
+    baseline_snps = env_int("BENCH_BASELINE_SNPS", 2)
     pvalue_method = os.environ.get("BENCH_PVALUE", "davies")
     budget_s = env_float("BENCH_BUDGET_S", 520.0)
     scale = env_float("BENCH_SCALE", 1.0)
@@ -176,7 +246,7 @@ def main():
         )
         baseline_tps = baseline_snps / (time.perf_counter() - t0)
     else:
-        pv_base, baseline_tps = None, None
+        pv_base, baseline_tps = None, PINNED_BASELINE_TPS
 
     cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)
     t0 = time.perf_counter()
@@ -213,7 +283,7 @@ def main():
     }
     # The headline record is safe from here on: a timeout on any later
     # stage leaves this as the last complete line.
-    print(json.dumps(result), flush=True)
+    emit(result)
 
     def within_budget(reserve_s=30.0):
         return time.perf_counter() - T_PROCESS_START < budget_s - reserve_s
@@ -249,31 +319,39 @@ def main():
         result["null_fits_per_sec"] = round(eff_batch * nrho / t_kernel, 1)
         result["roofline"] = roofline_estimate(
             n_cells, n_contexts, R, nrho, eff_batch, t_kernel)
-        print(json.dumps(result), flush=True)
+        emit(result)
 
     # ---- north-star configs (BASELINE.json), budget-gated ----
     configs = {}
     result["configs"] = configs
+    # realized/estimated cost ratio; a cold compile cache inflates every
+    # config by its compile, so once one config overshoots its warm-cache
+    # estimate, the remaining estimates are scaled up by the worst observed
+    # ratio (capped) instead of starting configs that cannot finish before
+    # the driver's timeout (ADVICE r3 #4)
+    gate = {"infl": 1.0}
 
     def _try(name, fn, est_s=60.0):
-        """Run a config if its warm-cache cost estimate fits the budget.
+        """Run a config if its (inflation-adjusted) cost fits the budget.
 
-        ``est_s`` is the measured warm-cache cost; gating on it (rather
-        than on a fixed reserve) lets the harness exit cleanly instead of
-        starting a config it cannot finish before the driver's timeout.
+        ``est_s`` is the measured warm-cache cost; it is multiplied by the
+        worst realized/estimated ratio seen so far this run.
         """
         elapsed = time.perf_counter() - T_PROCESS_START
-        if mode != "full" or elapsed + est_s > budget_s:
+        if mode != "full" or elapsed + est_s * gate["infl"] > budget_s:
             configs[name] = {"skipped": "time budget exhausted"
                              if mode == "full" else "headline mode"}
+            emit(result)
             return
         try:
             t0 = time.perf_counter()
             configs[name] = fn()
-            configs[name]["total_s"] = round(time.perf_counter() - t0, 1)
+            dt = time.perf_counter() - t0
+            configs[name]["total_s"] = round(dt, 1)
+            gate["infl"] = min(3.0, max(gate["infl"], dt / est_s))
         except Exception as e:  # record, don't die
             configs[name] = {"error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(result), flush=True)
+        emit(result)
 
     sc = lambda v: max(64, int(v * scale))
 
@@ -302,7 +380,8 @@ def main():
     def _betas2k():
         # warm with the SAME batch shape as the measured run (a padded
         # warmup batch would leave the real shape compiling inside the
-        # timed region)
+        # timed region); the warm call also builds + caches the
+        # BetasContext, so the timed call is pure steady state
         nb = min(512, n_snps)
         bb = min(cfg.snp_batch, crm._auto_batch_cap("betas"), nb)
         t0 = time.perf_counter()
@@ -311,10 +390,11 @@ def main():
         t0 = time.perf_counter()
         crm.predict_interaction(d["G"][:, :nb], d["maf"][:nb])
         dt = time.perf_counter() - t0
-        return {"variants_per_sec": round(nb / dt, 2),
-                "compile_plus_first_s": round(tc, 1)}
+        return {"steady_variants_per_sec": round(nb / dt, 2),
+                "variants_per_sec": round(nb / dt, 2),
+                "setup_compile_plus_first_s": round(tc, 1)}
 
-    def _multigene(nsn_target=512, ngenes=16):
+    def _multigene(nsn_target=512, ngenes=16, compare_loop=True):
         rng = np.random.default_rng(9)
         Y = d["y"][:, None] + 0.1 * rng.normal(size=(n_cells, ngenes))
         nsn = min(nsn_target, n_snps)
@@ -325,19 +405,23 @@ def main():
         t0 = time.perf_counter()
         crm.scan_interaction_multigene(Y, Gm, gene_batch=ngenes)
         dt = time.perf_counter() - t0
-        # per-gene loop on the SAME factorization (the second loop pass is
-        # the timed one, so both sides are measured warm)
-        for _pass in range(2):
+        r = {"gene_variant_pairs_per_sec": round(ngenes * nsn / dt, 1),
+             "compile_plus_first_s": round(tc, 1),
+             "n_genes": ngenes, "n_snps": nsn}
+        if compare_loop:
+            # per-gene loop on the SAME factorization; the single-gene
+            # 512-shape kernel is already compiled by the headline scan,
+            # so one pass is warm (the cis row skips this comparison —
+            # its 128-snp single-gene shape would trigger a fresh compile
+            # just to re-measure a speedup the 512 row already records)
             t0 = time.perf_counter()
             for j in range(ngenes):
                 crm.with_phenotype(Y[:, j]).scan_interaction(Gm)
             dt_loop = time.perf_counter() - t0
-        return {"gene_variant_pairs_per_sec": round(ngenes * nsn / dt, 1),
-                "compile_plus_first_s": round(tc, 1),
-                "per_gene_loop_pairs_per_sec": round(ngenes * nsn / dt_loop,
-                                                     1),
-                "speedup_vs_per_gene_loop": round(dt_loop / dt, 2),
-                "n_genes": ngenes, "n_snps": nsn}
+            r["per_gene_loop_pairs_per_sec"] = round(
+                ngenes * nsn / dt_loop, 1)
+            r["speedup_vs_per_gene_loop"] = round(dt_loop / dt, 2)
+        return r
 
     def _assoc_fast():
         t0 = time.perf_counter()
@@ -375,15 +459,19 @@ def main():
         cc = crt.CellRegMap(y=dd["y"], E=dd["E"], W=dd["W"],
                             Ls=dd["Ls"], config=cfg)
         t_set = time.perf_counter() - t0
+        # first call: betas-context build (one-time host QR/eigh; cached on
+        # the instance) + compile + first batch
         t0 = time.perf_counter()
         cc.predict_interaction(dd["G"], dd["maf"])
         tc = time.perf_counter() - t0
+        # second call: pure steady state (cached context, warm compile)
         t0 = time.perf_counter()
         cc.predict_interaction(dd["G"], dd["maf"])
         dt = time.perf_counter() - t0
-        return {"variants_per_sec": round(128 / dt, 3),
-                "setup_s": round(t_set, 1),
-                "compile_plus_first_s": round(tc, 1),
+        return {"steady_variants_per_sec": round(128 / dt, 2),
+                "variants_per_sec_incl_setup": round(128 / (tc + dt), 3),
+                "null_setup_s": round(t_set, 1),
+                "betas_setup_compile_plus_first_s": round(tc, 1),
                 "n_cells": sc(100_000)}
 
     def _c50():
@@ -396,25 +484,26 @@ def main():
 
     # North-star rows (BASELINE.md "Operative baseline") first, then the
     # compile-heavy extensions: a budget stop costs only the tail, and the
-    # line is re-printed after every config so a hard timeout loses just
-    # one.  multigene's gene-batched kernel is the most expensive cold
-    # compile of the lot (~200 s uncached), so it runs after the judge's
-    # scale rows.
-    # est_s values are measured warm-cache costs (+margin); a cold client
-    # cache inflates each config by its compile, in which case later
-    # configs self-skip as the real elapsed time eats the budget.
+    # summary is re-printed after every config so a hard timeout loses just
+    # one.  est_s values are measured warm-cache costs (+margin); a cold
+    # client cache inflates each config by its compile, which the gate
+    # inflation factor absorbs (see _try).  multigene_cis reuses
+    # multigene_16's compiled canonical (gene_tile, snp_batch) shape
+    # (variant axis padded up in scan_interaction_multigene), so its cost
+    # is pure scan.
     _try("betas_2k", _betas2k, est_s=40)
     _try("assoc_fast_2k", _assoc_fast, est_s=50)
     _try("cells10k_pairs5k", _cells10k, est_s=190)
     _try("contexts50", _c50, est_s=90)
     _try("cells50k_pairs100k", _cells50k, est_s=150)
-    _try("multigene_16", _multigene, est_s=80)
-    _try("multigene_cis_128", lambda: _multigene(nsn_target=128), est_s=70)
-    _try("assoc_multigene_16", _assoc_multigene, est_s=50)
-    _try("betas_100k_stretch", _betas100k, est_s=420)
+    _try("multigene_16", _multigene, est_s=70)
+    _try("multigene_cis_128",
+         lambda: _multigene(nsn_target=128, compare_loop=False), est_s=25)
+    _try("assoc_multigene_16", _assoc_multigene, est_s=45)
+    _try("betas_100k_stretch", _betas100k, est_s=130)
 
     result["total_bench_s"] = round(time.perf_counter() - T_PROCESS_START, 1)
-    print(json.dumps(result), flush=True)
+    emit(result)
 
 
 if __name__ == "__main__":

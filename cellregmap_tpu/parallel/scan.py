@@ -169,6 +169,59 @@ class ShardedScanner:
             self.ckpt.clear()
         return np.asarray(pvalues, float), info
 
+    def scan_interaction_multigene(self, Y, G, gene_batch: int = 16):
+        """Sharded equivalent of ``CellRegMap.scan_interaction_multigene``:
+        genes replicated per device, variants sharded over the mesh.
+
+        Returns ``(pvalues (n_genes, n_snps), info)`` identical to the
+        local driver (equality pinned in tests/test_parallel.py).
+        """
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_genes, n_snps = Y.shape[1], G.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+
+        per_dev = max(1, min(cfg.snp_batch, -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+              if rem else G)
+        remg = (-n_genes) % gtile
+        Yp = (np.concatenate([Y, np.repeat(Y[:, :1], remg, axis=1)], axis=1)
+              if remg else Y)
+
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
+        dev_pv = cfg.pvalue_method != "davies"
+        Z, W = crm._ctx.Z, crm._ctx.W
+        tiles = []
+        for g0 in range(0, Yp.shape[1], gtile):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], crm._dtype)
+            ctx_g = crm._ctx._replace(
+                y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            outs = []
+            for b in range(0, Gp.shape[1], step):
+                gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
+                outs.append(jax.device_get(
+                    sharded_interaction_multigene_batch(
+                        self.mesh, ctx_g, gb, gb, crm._n,
+                        delta_cfg=delta_cfg, device_pvalues=dev_pv)))
+            tiles.append({k: np.concatenate(
+                [np.asarray(o[k]) for o in outs], axis=1)[:, :n_snps]
+                for k in outs[0]})
+        res = {k: np.concatenate([t[k] for t in tiles])[:n_genes]
+               for k in tiles[0]}
+        return crm._multigene_ladder(res, n_genes, n_snps)
+
 
 def sharded_interaction_batch(mesh: Mesh, ctx, G, G_score, n: int,
                               delta_cfg=(-18.0, 18.0, 64, 60)):
@@ -181,3 +234,93 @@ def sharded_interaction_batch(mesh: Mesh, ctx, G, G_score, n: int,
     fn = _sharded_impl(mesh, n, delta_cfg, 40,
                        {"ctx_tree": ctx, "out_shapes": out_shapes})
     return fn(ctx, G, G_score)
+
+
+# --------------------------------------------------------------------------
+# Gene-batched (multigene) sharded kernels: shard the variant axis,
+# replicate the gene tile (VERDICT r3 item 6).  The north-star workload
+# (pod-scale gene-variant batches, BASELINE.json) runs the gene-batched
+# kernels; these give them the same data-parallel story as the single-gene
+# scan.  Outputs carry (gene, variant, ...) axes, so the variant axis is
+# axis 1 in every out_spec.
+# --------------------------------------------------------------------------
+def _sharded_multigene_impl(mesh: Mesh, n: int, delta_cfg, saddle_iters,
+                            out_struct, device_pvalues: bool = True):
+    axis = mesh.axis_names[0]
+
+    def body(ctx, G, G_score):
+        return engine.interaction_multigene_batch(
+            ctx, G, G_score, n, delta_cfg=delta_cfg,
+            saddle_iters=saddle_iters, device_pvalues=device_pvalues)
+
+    ctx_spec = jax.tree.map(lambda _: P(), out_struct["ctx_tree"])
+    out_specs = jax.tree.map(
+        lambda s: P(None, axis, *([None] * (len(s.shape) - 2))),
+        out_struct["out_shapes"],
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis), P(None, axis)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_interaction_multigene_batch(mesh: Mesh, ctx_g, G, G_score,
+                                        n: int,
+                                        delta_cfg=(-18.0, 18.0, 64, 60),
+                                        device_pvalues: bool = True):
+    """Gene-batched interaction scan, variants sharded over the mesh.
+
+    ``ctx_g`` follows the `engine.interaction_multigene_batch` convention
+    (phenotype fields carry a leading gene axis); every context leaf is
+    replicated, the variant batch is split across devices, and each device
+    runs the full gene tile on its shard — no collectives needed (tests are
+    independent; the host gathers sharded result tables).
+    """
+    out_shapes = jax.eval_shape(
+        lambda c, g, gs: engine.interaction_multigene_batch(
+            c, g, gs, n, delta_cfg=delta_cfg,
+            device_pvalues=device_pvalues),
+        ctx_g, G, G_score,
+    )
+    fn = _sharded_multigene_impl(
+        mesh, n, delta_cfg, 40,
+        {"ctx_tree": ctx_g, "out_shapes": out_shapes},
+        device_pvalues=device_pvalues,
+    )
+    return fn(ctx_g, G, G_score)
+
+
+def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):
+    """Gene-batched closed-form association lmls, variants sharded.
+
+    ``k_rho``/``delta`` are per-gene (replicated); the genotype batch is
+    split across devices.  Returns the FastScanResult with (gene, variant)
+    leading axes.
+    """
+    axis = mesh.axis_names[0]
+
+    def body(ctx, G_, k_, d_):
+        return engine.fast_scan_multigene_kernel(ctx, G_, k_, d_, n)
+
+    ctx_spec = jax.tree.map(lambda _: P(), ctx_g)
+    out_shapes = jax.eval_shape(
+        lambda c, g, k_, d_: engine.fast_scan_multigene_kernel(
+            c, g, k_, d_, n),
+        ctx_g, G, k_rho, delta,
+    )
+    out_specs = jax.tree.map(
+        lambda s: P(None, axis, *([None] * (len(s.shape) - 2))),
+        out_shapes,
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis), P(), P()),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)(ctx_g, G, k_rho, delta)

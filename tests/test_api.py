@@ -198,6 +198,29 @@ def test_run_wrappers():
     assert bgxe.shape == (d["n"], 3)
 
 
+def test_association_newton_matches_golden():
+    """The Newton-based slow-association refit (shared-GEMM grid + analytic
+    ML derivatives, VERDICT r3 item 7) must reproduce the golden-section
+    path's lmls and p-values."""
+    for seed, pW in ((11, 2), (23, 1)):
+        d = _dataset(seed=seed, pW=pW, S=8)
+        crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], hK=d["hK"])
+        _, k = crm._fit_null_association()
+        G = jnp.asarray(d["G"], crm._dtype)
+        lml_new, beta_new = engine.association_refit_kernel(
+            crm._ctx, G, k, crm._n)
+        lml_old, beta_old = engine.association_refit_golden_kernel(
+            crm._ctx, G, k, crm._n)
+        assert_allclose(np.asarray(lml_new), np.asarray(lml_old),
+                        rtol=0, atol=1e-8)
+        assert_allclose(np.asarray(beta_new), np.asarray(beta_old),
+                        rtol=1e-6, atol=1e-9)
+        null_lml = float(crm._null_assoc[0].lml[k])
+        pv_new = lrt_pvalues(null_lml, np.asarray(lml_new))
+        pv_old = lrt_pvalues(null_lml, np.asarray(lml_old))
+        assert_allclose(pv_new, pv_old, rtol=0, atol=1e-9)
+
+
 def test_compute_maf():
     rng = np.random.default_rng(0)
     X = rng.integers(0, 3, size=(100, 10)).astype(float)

@@ -39,6 +39,58 @@ def test_sharded_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_multigene_matches_single_device():
+    """Sharded gene-batched interaction scan (variants sharded, genes
+    replicated) == the local multigene driver (VERDICT r3 item 6)."""
+    y, W, E, G, Ls = _dataset(seed=61, S=13)
+    rng = np.random.default_rng(3)
+    Y = y[:, None] + 0.3 * rng.normal(size=(y.shape[0], 3))
+    crm = crt.CellRegMap(y=Y[:, 0], E=E, W=W, Ls=Ls,
+                         config=crt.ScanConfig(snp_batch=8))
+    pv_local, info_local = crm.scan_interaction_multigene(Y, G, gene_batch=2)
+
+    scanner = ShardedScanner(crm, mesh=make_mesh())
+    pv_shard, info_shard = scanner.scan_interaction_multigene(
+        Y, G, gene_batch=2)
+    assert pv_shard.shape == pv_local.shape == (3, 13)
+    assert_allclose(pv_shard, pv_local, atol=1e-7)
+    assert_allclose(info_shard["Q"], info_local["Q"], rtol=1e-6)
+    assert np.array_equal(info_shard["rho1"], info_local["rho1"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_fast_scan_multigene_matches_local():
+    """Sharded gene-batched fast association lmls == the local kernel."""
+    import jax.numpy as jnp
+    from cellregmap_tpu import engine
+    from cellregmap_tpu.parallel.scan import sharded_fast_scan_multigene
+
+    y, W, E, G, Ls = _dataset(seed=67, S=16)
+    rng = np.random.default_rng(5)
+    Y = y[:, None] + 0.3 * rng.normal(size=(y.shape[0], 2))
+    crm = crt.CellRegMap(y=Y[:, 0], E=E, W=W, Ls=Ls)
+    Z, Wm = crm._ctx.Z, crm._ctx.W
+    Yt = jnp.asarray(Y, crm._dtype)
+    ctx_g = crm._ctx._replace(
+        y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(Wm.T @ Yt).T,
+        yy=jnp.sum(Yt * Yt, axis=0),
+    )
+    fits, k = engine.null_association_multigene_kernel(
+        ctx_g, crm._n, restricted=False)
+    rows = np.arange(2)
+    delta = jnp.asarray(np.asarray(fits.delta)[rows, np.asarray(k)],
+                        crm._dtype)
+    Gj = jnp.asarray(G, crm._dtype)
+    local = engine.fast_scan_multigene_kernel(ctx_g, Gj, k, delta, crm._n)
+    shard = sharded_fast_scan_multigene(make_mesh(), ctx_g, Gj, k, delta,
+                                        crm._n)
+    assert_allclose(np.asarray(shard.lml), np.asarray(local.lml),
+                    rtol=1e-10, atol=1e-8)
+    assert_allclose(np.asarray(shard.effsizes_g),
+                    np.asarray(local.effsizes_g), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_checkpoint_resume_from_partial(tmp_path, monkeypatch):
     """Genuine partial resume: crash the sharded scan mid-way, assert a
     mid-scan cursor was persisted, then resume and match the clean result
