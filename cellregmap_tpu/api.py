@@ -270,7 +270,9 @@ class CellRegMap:
                                for k, v in timers.summary().items()})
         return np.asarray(pvalues, float), info
 
-    def scan_interaction_multigene(self, Y, G, gene_batch: int = 16):
+    def scan_interaction_multigene(self, Y, G, gene_batch: int = 16,
+                                   checkpoint=None,
+                                   checkpoint_every: int = 1):
         """Interaction scan for many genes sharing this factorization.
 
         ``Y`` is (n_cells, n_genes); genes x variants run in ONE compiled
@@ -281,6 +283,11 @@ class CellRegMap:
         ``(pvalues (n_genes, n_snps), info)`` with info arrays shaped
         (n_genes, n_snps).  New capability vs the reference (which rebuilds
         everything per gene, _cellregmap.py:63-131).
+
+        ``checkpoint``: optional directory; completed GENE TILES are
+        persisted there (a tile is the unit of work) and a restarted scan
+        with the same shapes resumes from the tile cursor, matching the
+        single-gene path's crash-recovery contract.
         """
         cfg = self._cfg
         Y = np.asarray(Y, float)
@@ -318,9 +325,27 @@ class CellRegMap:
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      cfg.n_delta_grid_interaction, cfg.n_golden_iters)
         Z, W = self._ctx.Z, self._ctx.W
+
+        ckpt = None
+        start_tile = 0
         tiles = []
-        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
-                                cfg.progress, "scan_multigene"):
+        ck_meta = {"n_snps": n_snps, "n_genes": n_genes, "gtile": gtile,
+                   "batch": batch}
+        if checkpoint is not None:
+            from .parallel.checkpoint import ScanCheckpoint
+
+            ckpt = ScanCheckpoint(checkpoint)
+            state = ckpt.load()
+            if (state is not None
+                    and all(state["meta"].get(k) == v
+                            for k, v in ck_meta.items())):
+                start_tile = state["cursor"]
+                tiles = [state["results"]]
+
+        tile_starts = list(enumerate(range(0, Yp.shape[1], gtile)))
+        n_tiles = len(tile_starts)
+        for ti, g0 in _batch_starts(tile_starts[start_tile:], gtile,
+                                    cfg.progress, "scan_multigene"):
             Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
             ctx_g = self._ctx._replace(
                 y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
@@ -336,13 +361,21 @@ class CellRegMap:
                     device_pvalues=(cfg.pvalue_method != "davies"),
                     localize_f32=cfg.hybrid_localization,
                 ),
-                window=2,
+                window=2 if ckpt is None else 1,
             )
             tiles.append({k: np.concatenate([np.asarray(o[k]) for o in outs],
                                             axis=1)[:, :n_snps]
                           for k in outs[0]})
+            if ckpt is not None and ((ti + 1 - start_tile) % checkpoint_every
+                                     == 0 or ti + 1 == n_tiles):
+                flat = {k: np.concatenate([t[k] for t in tiles])
+                        for k in tiles[0]}
+                ckpt.save(ti + 1, flat, ck_meta)
+                tiles = [flat]
         res = {k: np.concatenate([t[k] for t in tiles])[:n_genes]
                for k in tiles[0]}
+        if ckpt is not None:
+            ckpt.clear()
         return self._multigene_ladder(res, n_genes, n_snps)
 
     def _multigene_ladder(self, res, n_genes, n_snps):
