@@ -115,13 +115,28 @@ class CellRegMap:
         self._y, self._W, self._E0, self._E1 = y, W, E0, E1
         self._Ls, self._hK = Ls, hK
         self._n = n
-        self._ctx = engine.build_null_context(
-            y, W, E1, E0=E0, Ls=Ls if len(Ls) else None, hK=hK,
-            rho_grid=rho_grid, dtype=dtype,
-        )
+        self._rho_grid = rho_grid
+        self._ctx_cache = None
         self._dtype = dtype
         self._null_assoc = None
         self._bctx = None
+
+    @property
+    def _ctx(self):
+        """Null-covariance factorization, built lazily on first use.
+
+        A betas-only workflow (estimate_betas/predict_interaction) never
+        touches the interaction/association null family, whose one-time
+        host QR + per-rho eighs cost ~200 s at 100k cells (VERDICT r3
+        item 3) — so construction is deferred until a scan needs it.
+        """
+        if self._ctx_cache is None:
+            self._ctx_cache = engine.build_null_context(
+                self._y, self._W, self._E1, E0=self._E0,
+                Ls=self._Ls if len(self._Ls) else None, hK=self._hK,
+                rho_grid=self._rho_grid, dtype=self._dtype,
+            )
+        return self._ctx_cache
 
     @property
     def n_samples(self) -> int:
@@ -144,7 +159,7 @@ class CellRegMap:
         new.__dict__ = dict(self.__dict__)
         new._y = y
         yj = jnp.asarray(y, self._dtype)
-        new._ctx = self._ctx._replace(
+        new._ctx_cache = self._ctx._replace(
             y=yj, Zy=self._ctx.Z.T @ yj, Wy=self._ctx.W.T @ yj, yy=yj @ yj
         )
         new._null_assoc = None
@@ -414,11 +429,16 @@ class CellRegMap:
         (Rk, q^2) and the (n_rho x 16)-point family grids over Rk.
         Budget ~5 GB on a 16 GB chip.
         """
-        R = int(self._ctx.S.shape[1])
-        nrho = int(self._ctx.S.shape[0])
-        C = int(self._ctx.E0.shape[1])
+        C = int(self._E0.shape[1])
         n = self._n
         p = int(self._W.shape[1])
+        if kind == "betas":
+            # width of the background factor stack — computed WITHOUT the
+            # null context, which the betas path never needs (see _ctx)
+            Rk = max(sum(int(L.shape[1]) for L in self._Ls), 1)
+        else:
+            R = int(self._ctx.S.shape[1])
+            nrho = int(self._ctx.S.shape[0])
         if kind == "interaction":
             per_variant = (nrho * max(R, 1) * 32 * 8
                            + max(R, 1) * max(C, 1) * 96
@@ -429,7 +449,6 @@ class CellRegMap:
             # f64 copies) and the raw genotype column remain
             per_variant = max(R, 1) * 32 * 8 + n * 8 * 2
         elif kind == "betas":
-            Rk = max(R - C, 1)  # background factor width
             q = C + p + C + 2   # [A | B, g | y] columns (pB <= p + C)
             # colsS (S, Rk, q) in f64 + f32 plus the chunk-scanned weighted
             # columns (bounded at ~250 MB inside the family evaluator) and

@@ -60,6 +60,42 @@ class NullContext(NamedTuple):
     yy: jax.Array       # ()
 
 
+def _gram_basis(F):
+    """Orthonormal basis Z of range(F) plus T = Z^T F, via the Gram route.
+
+    Replaces a host QR of the tall factor stack: LAPACK's dgeqrf runs at
+    ~10 GFLOP/s on the 2-core bench host while dgemm/dsyrk run at >100
+    (measured: QR of 100k x 2010 = 87 s; syrk + eigh + two GEMMs ~ 20 s).
+    The small eigh of F^T F is rank-revealing — exactly rank-deficient
+    stacks (block-structured contexts spanning the intercept) drop their
+    null directions instead of destabilizing anything — and the CholQR
+    polish restores eps-level orthonormality that the 1/sqrt(lam) scaling
+    loses for small-eigenvalue directions.  Zero/dropped eigendirections
+    are inert in every downstream formula (the engine's zero-eigenvalue
+    padding convention), so the basis width may differ from QR's; all
+    results are basis-invariant.
+    """
+    import numpy as _np
+    import scipy.linalg as _sla
+
+    n, m = F.shape
+    if m == 0:
+        return _np.zeros((n, 0)), _np.zeros((0, 0))
+    G = F.T @ F
+    lam, V = _np.linalg.eigh(G)
+    cut = (max(m, 1) * _np.finfo(float).eps * lam[-1]
+           if lam.size and lam[-1] > 0 else 0.0)
+    keep = lam > cut
+    B = V[:, keep] / _np.sqrt(lam[keep])
+    Z0 = F @ B                                   # ~orthonormal columns
+    M = Z0.T @ Z0
+    Lch = _np.linalg.cholesky(M)
+    Linv = _sla.solve_triangular(Lch, _np.eye(Lch.shape[0]), lower=True)
+    Z = Z0 @ Linv.T
+    T = Linv @ (B.T @ G)                          # Z^T F, all small ops
+    return Z, T
+
+
 def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
                        hK=None, rho_grid=None, dtype=jnp.float64):
     """Factorize the null covariance family once.
@@ -95,11 +131,11 @@ def build_null_context(y, W, E1, E0=None, Ls: Optional[Sequence] = None,
     # and eigh misbehave on those; everything per-batch stays on device).
     # Everything here is pure NumPy with a single device upload at the end:
     # under a remote TPU each jnp op is a separate dispatch (and a separate
-    # first-use compile), which dominated setup time.  The QR factor gives
-    # the rotations for free: F = Z R  =>  Z^T F = R, so Ge/Gk are Gram
-    # blocks of R — no extra n-length matmuls.
+    # first-use compile), which dominated setup time.  The Gram-route
+    # basis (see :func:`_gram_basis`) gives the rotations for free:
+    # T = Z^T F, so Ge/Gk are Gram blocks of T — no extra n-length matmuls.
     F = _np.concatenate([E1_np] + bg_np, axis=1)
-    Z_np, R_np = _np.linalg.qr(F, mode="reduced")
+    Z_np, R_np = _gram_basis(F)
     C1 = E1_np.shape[1]
     Re = R_np[:, :C1]
     Ge = Re @ Re.T
@@ -1122,10 +1158,14 @@ def build_betas_context(y, W, E0, Ls: Optional[Sequence], rho_grid=None,
     parts = [_np.asarray(jax.device_get(L), float) for L in (Ls or [])]
     if parts:
         F = _np.concatenate(parts, axis=1)
-        Zk_np, Rk_np = _np.linalg.qr(F, mode="reduced")
-        Lam_np, Vk_np = _np.linalg.eigh(Rk_np @ Rk_np.T)
+        # Gram-route basis instead of host QR (dgeqrf is ~10x slower than
+        # dgemm on the bench host; see _gram_basis), then the exact small
+        # eigendecomposition of the represented covariance T T^T folded
+        # into Zk — identical math to the previous QR -> eigh -> fold.
+        Z0_np, T_np = _gram_basis(F)
+        Lam_np, Vk_np = _np.linalg.eigh(T_np @ T_np.T)
         Lam_np = _np.maximum(Lam_np, 0.0)
-        Zk_np = Zk_np @ Vk_np  # fold the eigenbasis into Zk (see above)
+        Zk_np = Z0_np @ Vk_np  # fold the eigenbasis into Zk (see above)
     else:
         # Degenerate background (reference still runs: hSigma_p = sqrt(rho) gE
         # only, _cellregmap.py:164-166).
