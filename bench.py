@@ -500,7 +500,7 @@ def main():
     _try("multigene_cis_128",
          lambda: _multigene(nsn_target=128, compare_loop=False), est_s=25)
     _try("assoc_multigene_16", _assoc_multigene, est_s=45)
-    _try("betas_100k_stretch", _betas100k, est_s=130)
+    _try("betas_100k_stretch", _betas100k, est_s=100)
 
     result["total_bench_s"] = round(time.perf_counter() - T_PROCESS_START, 1)
     emit(result)
