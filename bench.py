@@ -51,11 +51,14 @@ EXTENDED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_extended.json")
 
 # Pinned serial-baseline rate (tests/s) for the headline config, measured on
-# this host (2-core, serial LAPACK) in rounds 2-4; re-measured live on
-# BENCH_BASELINE_SNPS snps each run as a staleness check.  The live rate is
-# used when >0 snps are measured; the pin exists so the parity fields stay
-# meaningful even in BENCH_BASELINE_SNPS=0 smoke runs.
-PINNED_BASELINE_TPS = 0.0389
+# this host; re-measured live on BENCH_BASELINE_SNPS snps each run as a
+# staleness check.  The live rate is used when >0 snps are measured; the pin
+# exists so the fields stay meaningful in BENCH_BASELINE_SNPS=0 smoke runs.
+# History: rounds 2-3 recorded 0.0389 (25.7 s/snp) — round-4 re-measurement
+# found that pathological (not reproducible on this host); the reproducible
+# cost is ~10.5 s of setup (11 thin SVDs of the 2000 x 1010 half-factors)
+# plus ~0.2-1.5 s per snp, i.e. ~0.26/s measured at 2 snps including setup.
+PINNED_BASELINE_TPS = 0.26
 
 
 def compact_summary(result):
@@ -235,9 +238,13 @@ def main():
 
     backend = jax.default_backend()
     warmup_s = backend_warmup()
+    _stage = lambda msg: print(f"# {msg} t={time.perf_counter() - T_PROCESS_START:.0f}s",
+                               flush=True)
+    _stage("warmup done")
 
     # ---- headline config (2k cells; round-1 continuity) ----
     d = make_dataset(n_cells, n_contexts, n_donors, n_snps)
+    _stage("dataset done")
 
     if baseline_snps > 0:
         t0 = time.perf_counter()
@@ -247,13 +254,17 @@ def main():
         baseline_tps = baseline_snps / (time.perf_counter() - t0)
     else:
         pv_base, baseline_tps = None, PINNED_BASELINE_TPS
+    _stage("baseline done")
 
     cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)
     t0 = time.perf_counter()
     crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"],
                          config=cfg)
+    crm._ctx  # build the (lazy) factorization inside the timed setup
     t_setup = time.perf_counter() - t0
+    _stage("setup done")
     head, pv, info = interaction_metrics(crm, d["G"], pvalue_method)
+    _stage("headline scan done")
 
     max_abs_diff = (
         float(np.max(np.abs(pv[:baseline_snps] - pv_base)))
@@ -343,6 +354,7 @@ def main():
                              if mode == "full" else "headline mode"}
             emit(result)
             return
+        print(f"# config {name} start t={elapsed:.0f}s", flush=True)
         try:
             t0 = time.perf_counter()
             configs[name] = fn()
