@@ -41,6 +41,7 @@ from .api import (
     run_association,
     run_association_fast,
     run_association_fast_multigene,
+    run_association_multigene,
     run_interaction,
     run_interaction_multigene,
     estimate_betas,
@@ -71,6 +72,7 @@ __all__ = [
     "run_association",
     "run_association_fast",
     "run_association_fast_multigene",
+    "run_association_multigene",
     "run_interaction",
     "run_interaction_multigene",
     "estimate_betas",

@@ -595,6 +595,83 @@ class CellRegMap:
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
         return np.asarray(pv, float), self._assoc_info(fits, k)
 
+    def scan_association_multigene(self, Y, G, gene_batch: int = 16):
+        """Slow (per-variant ML refit) association scan for many genes.
+
+        ``Y`` is (n_cells, n_genes).  Per gene tile: vmapped covariate-only
+        null fits over the rho grid, then every (gene, variant) pair gets a
+        full ML refit through the gene-batched Newton kernel
+        (engine.association_refit_multigene_batch) — genotype contractions
+        shared across the tile.  Returns ``(pvalues (n_genes, n_snps),
+        info)`` with per-gene info arrays.  Completes the scan matrix
+        (interaction/fast-association both have multigene variants); the
+        reference reruns its serial pipeline per gene
+        (_cellregmap.py:246-281).
+        """
+        cfg = self._cfg
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        if Y.shape[1] < 1:
+            raise ValueError("Y must have at least one gene column")
+        if not np.isfinite(Y).all():
+            raise ValueError("Y contains non-finite values")
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        if G.shape[1] < 1:
+            raise ValueError("G must have at least one variant column")
+        n_genes = Y.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+        batch = min(cfg.snp_batch,
+                    max(16, self._auto_batch_cap("association") // gtile))
+        Gp, n_snps = _pad_batch(G, batch)
+        Yp, _ = _pad_batch(Y, gtile)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        Z, W = self._ctx.Z, self._ctx.W
+        rho_grid = np.asarray(self._ctx.rho)
+
+        pv_tiles, info_tiles = [], []
+        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
+                                cfg.progress, "assoc_multigene"):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
+            ctx_g = self._ctx._replace(
+                y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            fits, k = engine.null_association_multigene_kernel(
+                ctx_g, self._n, restricted=False, delta_cfg=delta_cfg)
+            fits = jax.device_get(fits)
+            k = np.asarray(k)
+            rows = np.arange(k.shape[0])
+            null_lml = fits.lml[rows, k]                     # (gtile,)
+            kj = jnp.asarray(k)
+            outs = _pipelined(
+                range(0, Gp.shape[1], batch),
+                lambda start: engine.association_refit_multigene_kernel(
+                    ctx_g, jnp.asarray(Gp[:, start : start + batch],
+                                       self._dtype),
+                    kj, self._n, delta_cfg=delta_cfg,
+                    localize_f32=cfg.hybrid_localization)[0],
+            )
+            alt = np.concatenate([np.asarray(o) for o in outs],
+                                 axis=1)[:, :n_snps]         # (gtile, S)
+            pv_tiles.append(lrt_pvalues(null_lml[:, None], alt, dof=1,
+                                        clip_lo=cfg.pv_clip_lo,
+                                        clip_hi=cfg.pv_clip_hi))
+            rho1 = (rho_grid[k] if rho_grid.shape[0] > 1
+                    else np.ones(k.shape[0]))
+            v0 = fits.v0[rows, k]
+            info_tiles.append({
+                "rho1": rho1, "e2": v0 * rho1, "g2": v0 * (1 - rho1),
+                "eps2": fits.v1[rows, k],
+            })
+        pvalues = np.concatenate(pv_tiles)[:n_genes]
+        info = {kk: np.concatenate([t[kk] for t in info_tiles])[:n_genes]
+                for kk in info_tiles[0]}
+        return np.asarray(pvalues, float), info
+
     def scan_association_fast_multigene(self, Y, G, gene_batch: int = 64):
         """Closed-form association scan for many genes in one program.
 
@@ -839,6 +916,19 @@ def run_interaction_multigene(Y, E, G, W=None, E1=None, E2=None, hK=None,
         Ls = get_L_values(hK, E2)
     base = CellRegMap(y=Y[:, 0], E=E, W=W, E1=E1, Ls=Ls, config=config)
     return base.scan_interaction_multigene(Y, G, gene_batch=gene_batch)
+
+
+def run_association_multigene(Y, E, G, W=None, hK=None, Ls=None,
+                              gene_batch: int = 16,
+                              config: ScanConfig = DEFAULT_CONFIG):
+    """Slow (per-variant ML refit) association scan across many genes
+    sharing one factorization; see
+    :meth:`CellRegMap.scan_association_multigene`."""
+    Y = np.asarray(Y, float)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    base = CellRegMap(y=Y[:, 0], E=E, W=W, hK=hK, Ls=Ls, config=config)
+    return base.scan_association_multigene(Y, G, gene_batch=gene_batch)
 
 
 def run_association_fast_multigene(Y, E, G, W=None, hK=None, Ls=None,

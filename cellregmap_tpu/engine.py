@@ -992,6 +992,37 @@ association_refit_kernel = jax.jit(
     static_argnames=("n", "delta_cfg", "newton_f64", "localize_f32"))
 
 
+def association_refit_multigene_batch(ctx: NullContext, G, k_rho, n: int,
+                                      delta_cfg=(-18.0, 18.0, 64, 60),
+                                      newton_f64: int = 10,
+                                      localize_f32: bool = True):
+    """Gene-batched slow-association refits: per-variant ML alternative
+    fits for a whole gene tile in one program.
+
+    ``ctx``'s phenotype fields (y, Zy, Wy, yy) carry a leading gene axis
+    (the `interaction_multigene_batch` convention) and ``k_rho`` is each
+    gene's null best-rho index.  The genotype contractions (Z^T G, W^T G,
+    Grams) are shared across genes by vmap's unbatched-operand rule; the
+    per-gene increment is the best-rho rotations plus the per-(gene,
+    variant) Newton fits.  Reference pattern per gene:
+    _cellregmap.py:268-276.
+    """
+    axes = NullContext(y=0, W=None, E0=None, Z=None, V=None, S=None,
+                       rho=None, Zy=0, ZW=None, WW=None, Wy=0, yy=0)
+
+    def one_gene(c, k):
+        return association_refit_batch(
+            c, G, k, n, delta_cfg=delta_cfg, newton_f64=newton_f64,
+            localize_f32=localize_f32)
+
+    return jax.vmap(one_gene, in_axes=(axes, 0))(ctx, k_rho)
+
+
+association_refit_multigene_kernel = jax.jit(
+    association_refit_multigene_batch,
+    static_argnames=("n", "delta_cfg", "newton_f64", "localize_f32"))
+
+
 @functools.partial(jax.jit, static_argnames=("n", "delta_cfg"))
 def association_refit_golden_kernel(ctx: NullContext, G, k_rho, n: int,
                                     delta_cfg=(-18.0, 18.0, 64, 60)):

@@ -222,6 +222,50 @@ class ShardedScanner:
                for k in tiles[0]}
         return crm._multigene_ladder(res, n_genes, n_snps)
 
+    def predict_interaction(self, G, MAF):
+        """Sharded equivalent of ``CellRegMap.predict_interaction``:
+        effect-size estimation with the variant axis split over the mesh.
+
+        Returns ``(beta_g (S,), beta_gxe (n, S))`` identical to the local
+        driver (equality pinned in tests/test_parallel.py).
+        """
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        p = np.atleast_1d(np.asarray(MAF, float))
+        norm = 1.0 / np.sqrt(2 * p * (1 - p))
+        n_snps = G.shape[1]
+
+        bctx = crm._betas_context()
+        per_dev = max(1, min(min(cfg.snp_batch,
+                                 crm._auto_batch_cap("betas")),
+                             -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        if rem:
+            G = np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)],
+                               axis=1)
+            norm = np.concatenate([norm, np.repeat(norm[:1], rem)])
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     min(16, cfg.n_delta_grid), cfg.n_golden_iters)
+
+        bg_parts, alpha_parts = [], []
+        for b in range(0, G.shape[1], step):
+            gb = jnp.asarray(G[:, b : b + step], crm._dtype)
+            nb = jnp.asarray(norm[b : b + step], crm._dtype)
+            beta_g, alpha, _ = sharded_betas_batch(
+                self.mesh, bctx, gb, nb, crm._n, delta_cfg=delta_cfg,
+                localize_f32=cfg.hybrid_localization)
+            bg_parts.append(np.asarray(beta_g))
+            alpha_parts.append(np.asarray(alpha))
+        beta_g = np.concatenate(bg_parts)[:n_snps]
+        alpha = np.concatenate(alpha_parts, axis=1)[:, :n_snps]
+        beta_gxe = crm._E0 @ alpha
+        return beta_g, beta_gxe
+
 
 def sharded_interaction_batch(mesh: Mesh, ctx, G, G_score, n: int,
                               delta_cfg=(-18.0, 18.0, 64, 60)):
@@ -292,6 +336,67 @@ def sharded_interaction_multigene_batch(mesh: Mesh, ctx_g, G, G_score,
         device_pvalues=device_pvalues,
     )
     return fn(ctx_g, G, G_score)
+
+
+def sharded_betas_batch(mesh: Mesh, bctx, G, norm, n: int,
+                        delta_cfg=(-18.0, 18.0, 16, 60),
+                        localize_f32: bool = True):
+    """Effect-size estimation (predict_interaction kernel), variants
+    sharded over the mesh; the BetasContext is replicated.
+
+    Returns ``(beta_g (S,), alpha (C, S), info)`` like the local kernel —
+    alpha's variant axis is axis 1.
+    """
+    axis = mesh.axis_names[0]
+
+    def body(c, G_, norm_):
+        return engine.predict_interaction_kernel(
+            c, G_, norm_, n, delta_cfg=delta_cfg,
+            localize_f32=localize_f32)
+
+    ctx_spec = jax.tree.map(lambda _: P(), bctx)
+    out_shapes = jax.eval_shape(
+        lambda c, g, m: engine.predict_interaction_kernel(
+            c, g, m, n, delta_cfg=delta_cfg, localize_f32=localize_f32),
+        bctx, G, norm,
+    )
+    # beta_g (S,) and the info dict shard on axis 0; alpha (C, S) on axis 1
+    out_specs = (P(axis), P(None, axis),
+                 jax.tree.map(lambda s: P(axis, *([None] * (len(s.shape)
+                                                           - 1))),
+                              out_shapes[2]))
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis), P(axis)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn, static_argnums=())(bctx, G, norm)
+
+
+def sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
+    """Single-gene closed-form association lmls, variants sharded."""
+    axis = mesh.axis_names[0]
+
+    def body(c, G_):
+        return engine.fast_scan_kernel(c, G_, k_rho, delta, n)
+
+    ctx_spec = jax.tree.map(lambda _: P(), ctx)
+    out_shapes = jax.eval_shape(
+        lambda c, g: engine.fast_scan_kernel(c, g, k_rho, delta, n),
+        ctx, G,
+    )
+    out_specs = jax.tree.map(
+        lambda s: P(axis, *([None] * (len(s.shape) - 1))), out_shapes)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)(ctx, G)
 
 
 def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):

@@ -286,6 +286,25 @@ def test_association_fast_multigene_matches_per_gene():
         assert_allclose(info["eps2"][j], info_j["eps2"][0], rtol=1e-7)
 
 
+def test_association_multigene_matches_per_gene():
+    """Gene-batched slow association (Newton refit, ragged tiles) == the
+    per-gene scan_association, p-values and info."""
+    d = _dataset(seed=57, S=5)
+    rng = np.random.default_rng(12)
+    Y = d["y"][:, None] + 0.3 * rng.normal(size=(d["n"], 3))
+    pvs, info = crt.run_association_multigene(
+        Y, d["E"], d["G"], W=d["W"], hK=d["hK"], gene_batch=2
+    )
+    assert pvs.shape == (3, 5)
+    assert info["rho1"].shape == (3,)
+    for j in range(3):
+        crm = crt.CellRegMap(y=Y[:, j], E=d["E"], W=d["W"], hK=d["hK"])
+        pv_j, info_j = crm.scan_association(d["G"])
+        assert_allclose(pvs[j], pv_j, rtol=1e-9, atol=1e-12)
+        assert_allclose(info["rho1"][j], info_j["rho1"][0], atol=0)
+        assert_allclose(info["eps2"][j], info_j["eps2"][0], rtol=1e-7)
+
+
 def test_davies_info_has_no_placeholder_pvalues():
     d = _dataset(seed=47, S=3)
     crm = crt.CellRegMap(y=d["y"], E=d["E"], W=d["W"], Ls=d["Ls"])

@@ -91,6 +91,38 @@ def test_sharded_fast_scan_multigene_matches_local():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_betas_matches_single_device():
+    """Sharded effect-size estimation == the local predict_interaction."""
+    y, W, E, G, Ls = _dataset(seed=73, S=11)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls)
+    maf = np.full(11, 0.3)
+    bg_local, bgxe_local = crm.predict_interaction(G, maf)
+
+    scanner = ShardedScanner(crm, mesh=make_mesh())
+    bg_shard, bgxe_shard = scanner.predict_interaction(G, maf)
+    assert_allclose(bg_shard, bg_local, rtol=1e-9, atol=1e-12)
+    assert_allclose(bgxe_shard, bgxe_local, rtol=1e-7, atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_fast_scan_matches_local():
+    """Single-gene sharded closed-form association == the local kernel."""
+    import jax.numpy as jnp
+    from cellregmap_tpu import engine
+    from cellregmap_tpu.parallel.scan import sharded_fast_scan
+
+    y, W, E, G, Ls = _dataset(seed=79, S=16)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls)
+    fits, k = crm._fit_null_association()
+    delta = float(fits.delta[k])
+    Gj = jnp.asarray(G, crm._dtype)
+    local = engine.fast_scan_kernel(crm._ctx, Gj, k, delta, crm._n)
+    shard = sharded_fast_scan(make_mesh(), crm._ctx, Gj, k, delta, crm._n)
+    assert_allclose(np.asarray(shard.lml), np.asarray(local.lml),
+                    rtol=1e-10, atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_checkpoint_resume_from_partial(tmp_path, monkeypatch):
     """Genuine partial resume: crash the sharded scan mid-way, assert a
     mid-scan cursor was persisted, then resume and match the clean result
