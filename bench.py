@@ -514,14 +514,14 @@ def main():
     # kill safe (a kill loses only the in-flight config's row).
     _try("betas_2k", _betas2k, est_s=25)
     _try("assoc_fast_2k", _assoc_fast, est_s=15)
-    _try("cells10k_pairs5k", _cells10k, est_s=150)
+    _try("cells10k_pairs5k", _cells10k, est_s=125)
     _try("contexts50", _c50, est_s=60)
-    _try("cells50k_pairs100k", _cells50k, est_s=90)
+    _try("cells50k_pairs100k", _cells50k, est_s=75)
     _try("multigene_16", _multigene, est_s=40)
     _try("multigene_cis_128",
          lambda: _multigene(nsn_target=128, compare_loop=False), est_s=10)
     _try("assoc_multigene_16", _assoc_multigene, est_s=20)
-    _try("betas_100k_stretch", _betas100k, est_s=110)
+    _try("betas_100k_stretch", _betas100k, est_s=105)
 
     result["total_bench_s"] = round(time.perf_counter() - T_PROCESS_START, 1)
     emit(result)
