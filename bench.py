@@ -161,6 +161,12 @@ def make_dataset(n_cells, n_contexts, n_donors, n_snps, seed=0,
     return dict(y=y, W=W, E=E, Ls=Ls, G=G, maf=maf)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def interaction_metrics(crm, G, pvalue_method):
     """Scan timing (compile excluded) + per-batch kernel cost."""
     n_snps = G.shape[1]
@@ -444,9 +450,10 @@ def main():
         t0 = time.perf_counter()
         crm.scan_association_fast(d["G"])
         tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        crm.scan_association_fast(d["G"])
-        dt = time.perf_counter() - t0
+        # the warm fast scan is sub-second at 2k snps, so a single timing
+        # is dispatch-noise-dominated; take the best of 3
+        dt = min(_timed(lambda: crm.scan_association_fast(d["G"]))
+                 for _ in range(3))
         r = {"tests_per_sec": round(n_snps / dt, 1),
              "compile_plus_first_s": round(tc, 1)}
         ns = min(512, n_snps)
