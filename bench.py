@@ -248,6 +248,13 @@ def main():
     from cellregmap_tpu.models import pvalues as pv_mod
 
     backend = jax.default_backend()
+    # Sentinel record BEFORE the first device op: the axon backend's
+    # server-side warmup event is a lottery (observed 3 s .. wedged
+    # indefinitely); if it hangs past the driver's kill, this line keeps
+    # the round's record parseable and diagnosable instead of empty.
+    print(json.dumps({"metric": "interaction_tests_per_sec", "value": None,
+                      "unit": "tests/s", "stage": "warmup_pending",
+                      "backend": backend}), flush=True)
     warmup_s = backend_warmup()
     _stage = lambda msg: print(f"# {msg} t={time.perf_counter() - T_PROCESS_START:.0f}s",
                                flush=True)
