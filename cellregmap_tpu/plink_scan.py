@@ -16,6 +16,12 @@ One-command usage (see ``main``)::
 where ``dataset.npz`` holds cell-level ``y``, ``E`` and optionally ``W``,
 ``hK``, and ``donor_to_cell`` (int indices mapping each cell to a .fam row)
 or ``donor_ids`` (per-cell donor IIDs matched against the .fam).
+
+Gene-batched cis mode: provide ``Y`` (n_cells x n_genes) and ``windows``
+(n_genes x 2 [start, end) .bim row ranges) in the npz instead of ``y`` —
+gene tiles decode the union of their cis windows once and run every
+(gene, variant) pair through the shared-contraction multigene kernel
+(:func:`scan_interaction_multigene_plink`).
 """
 from __future__ import annotations
 
@@ -134,6 +140,116 @@ def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
     return pv, info, vidx
 
 
+def scan_interaction_multigene_plink(crm: CellRegMap, prefix: str, Y,
+                                     windows, *, donor_to_cell=None,
+                                     donor_ids=None, gene_batch: int = 16,
+                                     maf_min: float = 0.0,
+                                     standardize: bool = True,
+                                     checkpoint: Optional[str] = None,
+                                     progress: bool = False):
+    """Gene-batched cis-window interaction scans from a PLINK fileset.
+
+    The production eQTL workload: ``Y`` is (n_cells, n_genes) and
+    ``windows`` is (n_genes, 2) with each gene's [start, end) .bim row
+    range (e.g. TSS +- 1 Mb).  Genes are tiled in window order; each tile
+    decodes the UNION of its members' windows once, runs every (gene,
+    variant) pair through the gene-batched kernel (one compiled program,
+    genotype contractions shared across the tile — adjacent cis-windows
+    overlap heavily), and keeps only pairs inside each gene's own window.
+    Completed tiles are checkpointed durably; a rerun resumes at the tile
+    cursor.
+
+    Returns a dict of flat arrays: ``gene`` (original Y column per row),
+    ``variant_index`` (.bim row), ``pvalues``, ``maf``, ``rho1``, ``e2``,
+    ``g2``, ``eps2``, ``Q``.
+    """
+    Y = np.asarray(Y, float)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    windows = np.asarray(windows, int)
+    if windows.shape != (Y.shape[1], 2):
+        raise ValueError("windows must be (n_genes, 2) [start, end) rows")
+    reader = PlinkReader(prefix)
+    if (windows[:, 0] < 0).any() or (windows[:, 1] > reader.n_variants).any():
+        raise ValueError("window out of .bim range")
+    d2c = resolve_donor_to_cell(reader, donor_to_cell, donor_ids)
+    if d2c.shape[0] != crm.n_samples:
+        raise ValueError("donor map length != model's n_cells")
+
+    order = np.argsort(windows[:, 0], kind="stable")
+    tiles = [order[i : i + gene_batch]
+             for i in range(0, len(order), gene_batch)]
+    meta = {"prefix": str(prefix), "n_variants": reader.n_variants,
+            "n_genes": int(Y.shape[1]), "gene_batch": gene_batch,
+            "maf_min": maf_min}
+
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
+    start_tile = 0
+    acc: dict = {}
+    if ckpt is not None:
+        state = ckpt.load()
+        if state is not None and all(
+                state["meta"].get(k) == v for k, v in meta.items()):
+            start_tile = state["cursor"]
+            acc = dict(state["results"])
+
+    def _append(name, arr):
+        arr = np.asarray(arr)
+        acc[name] = (np.concatenate([acc[name], arr])
+                     if name in acc else arr)
+
+    it = range(start_tile, len(tiles))
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc="scan_plink_multigene", unit="tile")
+        except ImportError:
+            pass
+
+    for t in it:
+        genes = tiles[t]
+        v0 = int(windows[genes, 0].min())
+        v1 = int(windows[genes, 1].max())
+        Gd = reader.read(v0, v1)                      # (n_donors, U)
+        maf = np.asarray(compute_maf(Gd), float)
+        miss = np.isnan(Gd)
+        if miss.any():
+            mu = np.nanmean(np.where(miss, np.nan, Gd), axis=0)
+            Gd = np.where(miss, mu[None, :], Gd)
+        sd = Gd.std(axis=0)
+        keep = (maf >= maf_min) & (sd > 0) & np.isfinite(maf)
+        kept_idx = v0 + np.flatnonzero(keep)          # .bim rows
+        if keep.any():
+            Gc = Gd[d2c][:, keep]
+            if standardize:
+                Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+            pv, info = crm.scan_interaction_multigene(
+                Y[:, genes], Gc, gene_batch=len(genes))
+            for gi, g in enumerate(genes):
+                inwin = ((kept_idx >= windows[g, 0])
+                         & (kept_idx < windows[g, 1]))
+                if not inwin.any():
+                    continue
+                _append("gene", np.full(int(inwin.sum()), g, int))
+                _append("variant_index", kept_idx[inwin])
+                _append("pvalues", pv[gi][inwin])
+                _append("maf", maf[keep][inwin])
+                for k in ("rho1", "e2", "g2", "eps2", "Q"):
+                    _append(k, info[k][gi][inwin])
+        if ckpt is not None:
+            ckpt.save(t + 1, acc, meta)
+
+    if ckpt is not None:
+        ckpt.clear()
+    empty_f = np.zeros(0)
+    out = {"gene": acc.get("gene", np.zeros(0, int)),
+           "variant_index": acc.get("variant_index", np.zeros(0, int))}
+    for k in ("pvalues", "maf", "rho1", "e2", "g2", "eps2", "Q"):
+        out[k] = acc.get(k, empty_f)
+    return out
+
+
 def main(argv=None):
     """CLI: checkpointed interaction scan from a .bed file."""
     import argparse
@@ -152,6 +268,8 @@ def main(argv=None):
     ap.add_argument("--maf-min", type=float, default=0.0)
     ap.add_argument("--snp-batch", type=int, default=None)
     ap.add_argument("--pvalue-method", default=None)
+    ap.add_argument("--gene-batch", type=int, default=16,
+                    help="gene tile size for multigene (Y + windows) scans")
     args = ap.parse_args(argv)
 
     with np.load(args.data, allow_pickle=False) as z:
@@ -169,7 +287,22 @@ def main(argv=None):
 
     E = d["E"]
     Ls = get_L_values(d["hK"], E) if "hK" in d else None
-    crm = CellRegMap(y=d["y"], E=E, W=d.get("W"), Ls=Ls, config=cfg)
+    multigene = "Y" in d and "windows" in d
+    y0 = d["Y"][:, 0] if multigene else d["y"]
+    crm = CellRegMap(y=y0, E=E, W=d.get("W"), Ls=Ls, config=cfg)
+    if multigene:
+        res = scan_interaction_multigene_plink(
+            crm, args.bed, d["Y"], d["windows"],
+            donor_to_cell=d.get("donor_to_cell"),
+            donor_ids=d.get("donor_ids"),
+            gene_batch=args.gene_batch, maf_min=args.maf_min,
+            checkpoint=args.checkpoint, progress=True,
+        )
+        np.savez(args.out, **res)
+        print(json.dumps({"n_tested": int(res["pvalues"].shape[0]),
+                          "n_genes": int(d["Y"].shape[1]),
+                          "out": args.out}))
+        return 0
     pv, info, vidx = scan_interaction_plink(
         crm, args.bed,
         donor_to_cell=d.get("donor_to_cell"),

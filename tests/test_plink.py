@@ -107,6 +107,95 @@ def test_streaming_scan_matches_direct(cohort):
     assert_allclose(pv[: head.size], pv_direct, atol=1e-12)
 
 
+def test_multigene_cis_scan_matches_direct(cohort):
+    from cellregmap_tpu.plink_scan import scan_interaction_multigene_plink
+
+    crm = _make_crm(cohort)
+    rng = np.random.default_rng(23)
+    n_genes = 5
+    Y = cohort["y"][:, None] + 0.3 * rng.normal(
+        size=(cohort["n_cells"], n_genes))
+    # overlapping cis windows over the head of the .bim
+    starts = np.array([0, 10, 20, 30, 40])
+    windows = np.stack([starts, starts + 24], axis=1)
+    res = scan_interaction_multigene_plink(
+        crm, cohort["prefix"], Y, windows,
+        donor_ids=np.asarray(cohort["donor_ids"])[cohort["d2c"]],
+        gene_batch=2, maf_min=0.01)
+
+    # every result row is inside its gene's window and the monomorphic
+    # variant 17 never appears
+    assert res["pvalues"].shape == res["gene"].shape
+    assert not np.any(res["variant_index"] == 17)
+    for g in range(n_genes):
+        sel = res["gene"] == g
+        vi = res["variant_index"][sel]
+        assert np.all((vi >= windows[g, 0]) & (vi < windows[g, 1]))
+
+    # direct in-memory multigene scan on one gene's window must agree
+    g = 2
+    Gd = cohort["Gd"]
+    frq = np.nansum(Gd, axis=0) / (2 * np.sum(~np.isnan(Gd), axis=0))
+    maf = np.minimum(frq, 1 - frq)
+    mu = np.nanmean(Gd, axis=0)
+    Gdi = np.where(np.isnan(Gd), mu[None, :], Gd)
+    keep = (maf >= 0.01) & (Gdi.std(0) > 0) & np.isfinite(maf)
+    win_idx = np.flatnonzero(keep[windows[g, 0] : windows[g, 1]]) \
+        + windows[g, 0]
+    Gc = Gdi[cohort["d2c"]][:, win_idx]
+    Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+    pv_direct, _ = crm.with_phenotype(Y[:, g]).scan_interaction(Gc)
+    sel = res["gene"] == g
+    assert np.array_equal(res["variant_index"][sel], win_idx)
+    assert_allclose(res["pvalues"][sel], pv_direct, atol=1e-9)
+
+
+def test_multigene_cis_scan_crash_resume(cohort, tmp_path):
+    import cellregmap_tpu.api as api_mod
+    from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
+    from cellregmap_tpu.plink_scan import scan_interaction_multigene_plink
+
+    crm = _make_crm(cohort)
+    rng = np.random.default_rng(29)
+    Y = cohort["y"][:, None] + 0.3 * rng.normal(size=(cohort["n_cells"], 4))
+    windows = np.array([[0, 16], [8, 24], [16, 32], [24, 40]])
+    dids = np.asarray(cohort["donor_ids"])[cohort["d2c"]]
+    full = scan_interaction_multigene_plink(
+        crm, cohort["prefix"], Y, windows, donor_ids=dids, gene_batch=2)
+
+    ck = str(tmp_path / "ckmg")
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real = api_mod.CellRegMap.scan_interaction_multigene
+
+    def crashing(self, *a, **kw):
+        if calls["n"] >= 1:  # first tile completes + checkpoints
+            raise Boom()
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    api_mod.CellRegMap.scan_interaction_multigene = crashing
+    try:
+        with pytest.raises(Boom):
+            scan_interaction_multigene_plink(
+                crm, cohort["prefix"], Y, windows, donor_ids=dids,
+                gene_batch=2, checkpoint=ck)
+    finally:
+        api_mod.CellRegMap.scan_interaction_multigene = real
+    state = ScanCheckpoint(ck).load()
+    assert state is not None and state["cursor"] == 1
+
+    resumed = scan_interaction_multigene_plink(
+        crm, cohort["prefix"], Y, windows, donor_ids=dids,
+        gene_batch=2, checkpoint=ck)
+    for k in full:
+        assert_allclose(resumed[k], full[k], rtol=1e-12)
+    assert ScanCheckpoint(ck).load() is None
+
+
 def test_streaming_scan_crash_resume(cohort, tmp_path):
     from cellregmap_tpu.plink_scan import scan_interaction_plink
 
@@ -153,4 +242,25 @@ def test_plink_scan_cli(cohort, tmp_path):
     assert rc == 0
     with np.load(out) as z:
         assert z["pvalues"].shape[0] > 10_000
+        assert np.all((z["pvalues"] > 0) & (z["pvalues"] <= 1))
+
+
+def test_plink_scan_cli_multigene(cohort, tmp_path):
+    """--data with Y + windows dispatches the gene-batched cis driver."""
+    from cellregmap_tpu.plink_scan import main
+
+    rng = np.random.default_rng(31)
+    Y = cohort["y"][:, None] + 0.3 * rng.normal(size=(cohort["n_cells"], 3))
+    windows = np.array([[0, 12], [6, 18], [12, 24]])
+    data = str(tmp_path / "datam.npz")
+    np.savez(data, Y=Y, windows=windows, E=cohort["E"], hK=cohort["hK"],
+             donor_to_cell=cohort["d2c"])
+    out = str(tmp_path / "resm.npz")
+    rc = main(["--bed", cohort["prefix"], "--data", data, "--out", out,
+               "--maf-min", "0.01", "--pvalue-method", "liu",
+               "--gene-batch", "2"])
+    assert rc == 0
+    with np.load(out) as z:
+        assert z["pvalues"].shape == z["gene"].shape
+        assert set(np.unique(z["gene"])) <= {0, 1, 2}
         assert np.all((z["pvalues"] > 0) & (z["pvalues"] <= 1))
