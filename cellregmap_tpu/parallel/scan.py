@@ -222,6 +222,38 @@ class ShardedScanner:
                for k in tiles[0]}
         return crm._multigene_ladder(res, n_genes, n_snps)
 
+    def scan_association_fast(self, G):
+        """Sharded equivalent of ``CellRegMap.scan_association_fast``:
+        closed-form LRT association with the variant axis split over the
+        mesh (null fit on one device, replicated)."""
+        from ..models.pvalues import lrt_pvalues
+
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_snps = G.shape[1]
+        fits, k = crm._fit_null_association()
+        null_lml = float(fits.lml[k])
+        delta = float(fits.delta[k])
+
+        per_dev = max(1, min(cfg.snp_batch, -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+              if rem else G)
+        alt = []
+        for b in range(0, Gp.shape[1], step):
+            gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
+            alt.append(np.asarray(sharded_fast_scan(
+                self.mesh, crm._ctx, gb, k, delta, crm._n).lml))
+        alt_lmls = np.concatenate(alt)[:n_snps]
+        pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
+                         clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
+        return np.asarray(pv, float), crm._assoc_info(fits, k)
+
     def predict_interaction(self, G, MAF):
         """Sharded equivalent of ``CellRegMap.predict_interaction``:
         effect-size estimation with the variant axis split over the mesh.

@@ -105,6 +105,18 @@ def test_sharded_betas_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_assoc_fast_driver_matches_local():
+    """ShardedScanner.scan_association_fast == the local driver."""
+    y, W, E, G, Ls = _dataset(seed=83, S=13)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls)
+    pv_local, info_local = crm.scan_association_fast(G)
+    pv_shard, info_shard = ShardedScanner(
+        crm, mesh=make_mesh()).scan_association_fast(G)
+    assert_allclose(pv_shard, pv_local, rtol=1e-9, atol=1e-12)
+    assert_allclose(info_shard["rho1"], info_local["rho1"], atol=0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_fast_scan_matches_local():
     """Single-gene sharded closed-form association == the local kernel."""
     import jax.numpy as jnp
