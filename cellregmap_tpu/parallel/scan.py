@@ -245,10 +245,13 @@ class ShardedScanner:
         Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
               if rem else G)
         alt = []
+        fn = None
         for b in range(0, Gp.shape[1], step):
             gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
-            alt.append(np.asarray(sharded_fast_scan(
-                self.mesh, crm._ctx, gb, k, delta, crm._n).lml))
+            if fn is None:  # one compile for all equally-shaped batches
+                fn = build_sharded_fast_scan(self.mesh, crm._ctx, gb, k,
+                                             delta, crm._n)
+            alt.append(np.asarray(fn(crm._ctx, gb).lml))
         alt_lmls = np.concatenate(alt)[:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
@@ -285,12 +288,15 @@ class ShardedScanner:
                      min(16, cfg.n_delta_grid), cfg.n_golden_iters)
 
         bg_parts, alpha_parts = [], []
+        fn = None
         for b in range(0, G.shape[1], step):
             gb = jnp.asarray(G[:, b : b + step], crm._dtype)
             nb = jnp.asarray(norm[b : b + step], crm._dtype)
-            beta_g, alpha, _ = sharded_betas_batch(
-                self.mesh, bctx, gb, nb, crm._n, delta_cfg=delta_cfg,
-                localize_f32=cfg.hybrid_localization)
+            if fn is None:  # one compile for all equally-shaped batches
+                fn = build_sharded_betas(
+                    self.mesh, bctx, gb, nb, crm._n, delta_cfg=delta_cfg,
+                    localize_f32=cfg.hybrid_localization)
+            beta_g, alpha, _ = fn(bctx, gb, nb)
             bg_parts.append(np.asarray(beta_g))
             alpha_parts.append(np.asarray(alpha))
         beta_g = np.concatenate(bg_parts)[:n_snps]
@@ -370,15 +376,12 @@ def sharded_interaction_multigene_batch(mesh: Mesh, ctx_g, G, G_score,
     return fn(ctx_g, G, G_score)
 
 
-def sharded_betas_batch(mesh: Mesh, bctx, G, norm, n: int,
+def build_sharded_betas(mesh: Mesh, bctx, G, norm, n: int,
                         delta_cfg=(-18.0, 18.0, 16, 60),
                         localize_f32: bool = True):
-    """Effect-size estimation (predict_interaction kernel), variants
-    sharded over the mesh; the BetasContext is replicated.
-
-    Returns ``(beta_g (S,), alpha (C, S), info)`` like the local kernel —
-    alpha's variant axis is axis 1.
-    """
+    """Compiled sharded betas kernel ``fn(bctx, G, norm)`` for one batch
+    shape; reuse it across equally-shaped batches (re-jitting per batch
+    recompiles every time)."""
     axis = mesh.axis_names[0]
 
     def body(c, G_, norm_):
@@ -397,18 +400,27 @@ def sharded_betas_batch(mesh: Mesh, bctx, G, norm, n: int,
                  jax.tree.map(lambda s: P(axis, *([None] * (len(s.shape)
                                                            - 1))),
                               out_shapes[2]))
-    fn = shard_map(
+    return jax.jit(shard_map(
         body,
         mesh=mesh,
         in_specs=(ctx_spec, P(None, axis), P(axis)),
         out_specs=out_specs,
         check_rep=False,
-    )
-    return jax.jit(fn, static_argnums=())(bctx, G, norm)
+    ))
 
 
-def sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
-    """Single-gene closed-form association lmls, variants sharded."""
+def sharded_betas_batch(mesh: Mesh, bctx, G, norm, n: int,
+                        delta_cfg=(-18.0, 18.0, 16, 60),
+                        localize_f32: bool = True):
+    """One-shot sharded effect-size batch; returns ``(beta_g (S,),
+    alpha (C, S), info)`` like the local kernel."""
+    return build_sharded_betas(mesh, bctx, G, norm, n, delta_cfg,
+                               localize_f32)(bctx, G, norm)
+
+
+def build_sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
+    """Compiled sharded fast-scan ``fn(ctx, G)`` for one batch shape
+    (``k_rho``/``delta`` closed over as constants)."""
     axis = mesh.axis_names[0]
 
     def body(c, G_):
@@ -421,14 +433,18 @@ def sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
     )
     out_specs = jax.tree.map(
         lambda s: P(axis, *([None] * (len(s.shape) - 1))), out_shapes)
-    fn = shard_map(
+    return jax.jit(shard_map(
         body,
         mesh=mesh,
         in_specs=(ctx_spec, P(None, axis)),
         out_specs=out_specs,
         check_rep=False,
-    )
-    return jax.jit(fn)(ctx, G)
+    ))
+
+
+def sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
+    """Single-gene closed-form association lmls, variants sharded."""
+    return build_sharded_fast_scan(mesh, ctx, G, k_rho, delta, n)(ctx, G)
 
 
 def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):

@@ -179,9 +179,16 @@ def scan_interaction_multigene_plink(crm: CellRegMap, prefix: str, Y,
     order = np.argsort(windows[:, 0], kind="stable")
     tiles = [order[i : i + gene_batch]
              for i in range(0, len(order), gene_batch)]
+    import hashlib
+
+    # resuming with different windows or phenotypes would silently splice
+    # incompatible tiles; fingerprint both into the checkpoint meta
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(windows).tobytes())
+    h.update(np.ascontiguousarray(Y).tobytes())
     meta = {"prefix": str(prefix), "n_variants": reader.n_variants,
             "n_genes": int(Y.shape[1]), "gene_batch": gene_batch,
-            "maf_min": maf_min}
+            "maf_min": maf_min, "inputs_sha": h.hexdigest()[:16]}
 
     ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
     start_tile = 0
