@@ -270,8 +270,10 @@ def main():
             d["y"], d["W"], d["E"], Ls=d["Ls"], G=d["G"][:, :baseline_snps]
         )
         baseline_tps = baseline_snps / (time.perf_counter() - t0)
+        baseline_pinned = False
     else:
         pv_base, baseline_tps = None, PINNED_BASELINE_TPS
+        baseline_pinned = True
     _stage("baseline done")
 
     cfg = crt.ScanConfig(snp_batch=batch, pvalue_method=pvalue_method)

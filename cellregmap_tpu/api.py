@@ -57,6 +57,16 @@ def _pipelined(starts, launch, window: int = 4):
     return outs
 
 
+def _content_sha(*arrays) -> str:
+    """Short content fingerprint of checkpoint inputs (resume safety)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(np.asarray(a, float)).tobytes())
+    return h.hexdigest()[:16]
+
+
 def _batch_starts(total, batch, progress, desc):
     """Batch-start iterator with optional tqdm progress (the reference shows
     per-SNP tqdm bars, _cellregmap.py:270,340).  ``total`` may be an int
@@ -205,14 +215,17 @@ class CellRegMap:
         ckpt = None
         start_batch = 0
         outs = []
+        ck_meta = {"n_snps": n_snps, "batch": batch,
+                   "inputs_sha": (_content_sha(self._y, G)
+                                  if checkpoint else None)}
         if checkpoint is not None:
             from .parallel.checkpoint import ScanCheckpoint
 
             ckpt = ScanCheckpoint(checkpoint)
             state = ckpt.load()
             if (state is not None
-                    and state["meta"].get("n_snps") == n_snps
-                    and state["meta"].get("batch") == batch):
+                    and all(state["meta"].get(k) == v
+                            for k, v in ck_meta.items())):
                 start_batch = state["cursor"]
                 outs = [state["results"]]
 
@@ -257,8 +270,7 @@ class CellRegMap:
                     flat = {kk: np.concatenate([np.asarray(o[kk])
                                                 for o in outs])
                             for kk in outs[0]}
-                    ckpt.save(done, flat,
-                              {"n_snps": n_snps, "batch": batch})
+                    ckpt.save(done, flat, ck_meta)
                     outs[:] = [flat]
                     pv_parts[:] = [np.concatenate(pv_parts)]
                     lam_parts[:] = [np.concatenate(lam_parts)]
@@ -361,8 +373,13 @@ class CellRegMap:
         ckpt = None
         start_tile = 0
         tiles = []
+        # fingerprint the inputs, not just their shapes: resuming with
+        # different Y/G of identical shape would silently splice
+        # incompatible tiles (ADVICE r4 #3; matches the PLINK wrapper's
+        # inputs_sha pattern, plink_scan.py)
         ck_meta = {"n_snps": n_snps, "n_genes": n_genes, "gtile": gtile,
-                   "batch": batch}
+                   "batch": batch,
+                   "inputs_sha": _content_sha(Y, G) if checkpoint else None}
         if checkpoint is not None:
             from .parallel.checkpoint import ScanCheckpoint
 

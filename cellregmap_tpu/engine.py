@@ -74,6 +74,15 @@ def _gram_basis(F):
     are inert in every downstream formula (the engine's zero-eigenvalue
     padding convention), so the basis width may differ from QR's; all
     results are basis-invariant.
+
+    Rank-resolution limit (ADVICE r4 #4): squaring the spectrum halves the
+    resolvable dynamic range — directions with singular value below
+    ~sqrt(m * eps) * sigma_max fall under the Gram eigenvalue cut and are
+    dropped, where backward-stable QR would have kept them (kappa ~ 1e8 is
+    the practical boundary; regression-pinned on a kappa ~ 1e8 stack in
+    tests/test_ops.py::test_gram_basis_high_condition).  Retained-basis
+    covariance error at kappa 1e8-1e12 is ~1e-10 relative vs ~1e-15 for
+    QR — acceptable for the squared-spectrum covariance use here.
     """
     import numpy as _np
     import scipy.linalg as _sla

@@ -240,7 +240,8 @@ def imhof_sf(q, lambdas, epsabs=1e-13, epsrel=1e-11):
 # Reference-style serial pipeline (the measured CPU baseline).
 # --------------------------------------------------------------------------
 def scan_interaction_reference_style(y, W, E0, E1=None, Ls=None, hK=None,
-                                     G=None, rho_grid=None, pvalue=None):
+                                     G=None, rho_grid=None, pvalue=None,
+                                     timers=None):
     """Serial scan reproducing the reference's *computational pattern*.
 
     Mirrors the cost structure of _cellregmap.py:317-440 + glimix-core:
@@ -271,6 +272,9 @@ def scan_interaction_reference_style(y, W, E0, E1=None, Ls=None, hK=None,
 
     # setup: one thin SVD per rho (the reference's __init__ hot spot,
     # _cellregmap.py:119-131)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     QS = []
     for rho1 in rho_grid:
         hS = np.concatenate(
@@ -279,6 +283,9 @@ def scan_interaction_reference_style(y, W, E0, E1=None, Ls=None, hK=None,
         )
         U, s, _ = np.linalg.svd(hS, full_matrices=False)
         QS.append((U, s**2))
+    if timers is not None:
+        timers["setup_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
 
     if pvalue is None:
         from .models.pvalues import davies_pvalue as pvalue
@@ -369,6 +376,8 @@ def scan_interaction_reference_style(y, W, E0, E1=None, Ls=None, hK=None,
         info["eps2"].append(v1)
 
     info = {k: np.asarray(v, float) for k, v in info.items()}
+    if timers is not None:
+        timers["scan_s"] = _time.perf_counter() - _t0
     return np.asarray(pvals, float), info
 
 

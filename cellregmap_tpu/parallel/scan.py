@@ -202,6 +202,7 @@ class ShardedScanner:
         dev_pv = cfg.pvalue_method != "davies"
         Z, W = crm._ctx.Z, crm._ctx.W
         tiles = []
+        fn = None  # compiled once for the canonical (gtile, step) shape
         for g0 in range(0, Yp.shape[1], gtile):
             Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], crm._dtype)
             ctx_g = crm._ctx._replace(
@@ -211,10 +212,16 @@ class ShardedScanner:
             outs = []
             for b in range(0, Gp.shape[1], step):
                 gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
-                outs.append(jax.device_get(
-                    sharded_interaction_multigene_batch(
-                        self.mesh, ctx_g, gb, gb, crm._n,
-                        delta_cfg=delta_cfg, device_pvalues=dev_pv)))
+                if fn is None:
+                    # one shard_map + jit for ALL tiles and batches (every
+                    # (gtile, step) slice shares the shape); re-building it
+                    # per call retraced and recompiled the gene-batched
+                    # program each batch (ADVICE r4 #1)
+                    fn = build_sharded_interaction_multigene(
+                        self.mesh, ctx_g, gb, crm._n, delta_cfg=delta_cfg,
+                        device_pvalues=dev_pv,
+                        localize_f32=cfg.hybrid_localization)
+                outs.append(jax.device_get(fn(ctx_g, gb, gb)))
             tiles.append({k: np.concatenate(
                 [np.asarray(o[k]) for o in outs], axis=1)[:, :n_snps]
                 for k in outs[0]})
@@ -326,19 +333,35 @@ def sharded_interaction_batch(mesh: Mesh, ctx, G, G_score, n: int,
 # scan.  Outputs carry (gene, variant, ...) axes, so the variant axis is
 # axis 1 in every out_spec.
 # --------------------------------------------------------------------------
-def _sharded_multigene_impl(mesh: Mesh, n: int, delta_cfg, saddle_iters,
-                            out_struct, device_pvalues: bool = True):
+def build_sharded_interaction_multigene(mesh: Mesh, ctx_g, G, n: int,
+                                        delta_cfg=(-18.0, 18.0, 64, 60),
+                                        device_pvalues: bool = True,
+                                        localize_f32: bool = True):
+    """Compiled sharded gene-batched interaction kernel
+    ``fn(ctx_g, G, G_score)`` for one (gene_tile, variant_batch) shape;
+    reuse it across equally-shaped tiles/batches (re-building per call
+    retraces + recompiles the gene-batched program every time, ADVICE r4
+    #1).  ``localize_f32`` matches the local driver's hybrid-precision
+    setting so sharded and local results are bit-identical (ADVICE r4 #2).
+    """
     axis = mesh.axis_names[0]
 
-    def body(ctx, G, G_score):
+    def body(ctx, G_, G_score):
         return engine.interaction_multigene_batch(
-            ctx, G, G_score, n, delta_cfg=delta_cfg,
-            saddle_iters=saddle_iters, device_pvalues=device_pvalues)
+            ctx, G_, G_score, n, delta_cfg=delta_cfg,
+            saddle_iters=40, device_pvalues=device_pvalues,
+            localize_f32=localize_f32)
 
-    ctx_spec = jax.tree.map(lambda _: P(), out_struct["ctx_tree"])
+    ctx_spec = jax.tree.map(lambda _: P(), ctx_g)
+    out_shapes = jax.eval_shape(
+        lambda c, g, gs: engine.interaction_multigene_batch(
+            c, g, gs, n, delta_cfg=delta_cfg,
+            device_pvalues=device_pvalues, localize_f32=localize_f32),
+        ctx_g, G, G,
+    )
     out_specs = jax.tree.map(
         lambda s: P(None, axis, *([None] * (len(s.shape) - 2))),
-        out_struct["out_shapes"],
+        out_shapes,
     )
     fn = shard_map(
         body,
@@ -353,26 +376,21 @@ def _sharded_multigene_impl(mesh: Mesh, n: int, delta_cfg, saddle_iters,
 def sharded_interaction_multigene_batch(mesh: Mesh, ctx_g, G, G_score,
                                         n: int,
                                         delta_cfg=(-18.0, 18.0, 64, 60),
-                                        device_pvalues: bool = True):
+                                        device_pvalues: bool = True,
+                                        localize_f32: bool = True):
     """Gene-batched interaction scan, variants sharded over the mesh.
 
     ``ctx_g`` follows the `engine.interaction_multigene_batch` convention
     (phenotype fields carry a leading gene axis); every context leaf is
     replicated, the variant batch is split across devices, and each device
     runs the full gene tile on its shard — no collectives needed (tests are
-    independent; the host gathers sharded result tables).
+    independent; the host gathers sharded result tables).  One-shot form;
+    drivers should use :func:`build_sharded_interaction_multigene` and
+    reuse the compiled fn across batches.
     """
-    out_shapes = jax.eval_shape(
-        lambda c, g, gs: engine.interaction_multigene_batch(
-            c, g, gs, n, delta_cfg=delta_cfg,
-            device_pvalues=device_pvalues),
-        ctx_g, G, G_score,
-    )
-    fn = _sharded_multigene_impl(
-        mesh, n, delta_cfg, 40,
-        {"ctx_tree": ctx_g, "out_shapes": out_shapes},
-        device_pvalues=device_pvalues,
-    )
+    fn = build_sharded_interaction_multigene(
+        mesh, ctx_g, G, n, delta_cfg=delta_cfg,
+        device_pvalues=device_pvalues, localize_f32=localize_f32)
     return fn(ctx_g, G, G_score)
 
 

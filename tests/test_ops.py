@@ -115,6 +115,46 @@ def test_orthonormal_basis_and_gram(rng):
     assert_allclose(got, F @ F.T, atol=1e-9)
 
 
+def test_gram_basis_high_condition(rng):
+    """The Gram-route basis (engine._gram_basis) at kappa ~ 1e8: retained
+    directions must represent the factor covariance to ~1e-9 relative, and
+    an end-to-end null-context scan on the ill-conditioned stack must match
+    the dense oracle (ADVICE r4 #4: the sqrt(eps) rank-resolution limit is
+    acceptable for the squared-spectrum use, but was untested)."""
+    from cellregmap_tpu import engine
+
+    n, m = 160, 12
+    # singular values spanning 8 decades
+    U, _ = np.linalg.qr(rng.normal(size=(n, m)))
+    Vt, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    sv = np.logspace(0, -8, m)
+    F = U @ np.diag(sv) @ Vt.T
+    Z, T = engine._gram_basis(F)
+    # orthonormal basis; represented covariance matches F F^T
+    assert_allclose(Z.T @ Z, np.eye(Z.shape[1]), atol=1e-12)
+    cov_err = np.linalg.norm(Z @ T @ T.T @ Z.T - F @ F.T) \
+        / np.linalg.norm(F @ F.T)
+    assert cov_err < 5e-9, cov_err
+
+    # end-to-end: interaction scan on an ill-conditioned context stack
+    # (contexts with 1e-4-scaled columns -> kappa ~ 1e8 in the Gram) vs
+    # the dense oracle which never routes through the Gram basis
+    n2, C = 120, 4
+    E = rng.normal(size=(n2, C))
+    E[:, 2:] *= 1e-4
+    hK = rng.normal(size=(n2, 5)) / np.sqrt(5)
+    from cellregmap_tpu.api import get_L_values as gl
+    Ls = gl(hK, E)
+    y = rng.normal(size=n2)
+    W = np.ones((n2, 1))
+    G = rng.choice([0.0, 1.0, 2.0], size=(n2, 3), p=[0.5, 0.4, 0.1])
+    G = (G - G.mean(0)) / np.maximum(G.std(0), 1e-9)
+    import cellregmap_tpu as crt
+    pv, _ = crt.run_interaction(y, E, G, W=W, hK=hK)
+    pv_dense, _ = oracle.scan_interaction_dense(y, W, E, Ls=Ls, G=G)
+    assert_allclose(pv, pv_dense, atol=1e-8)
+
+
 def test_batched_small_chol_and_solve():
     """fori-loop batched tiny-matrix Cholesky/solve vs numpy (the native
     batched path is catastrophically slow on TPU; ops/linalg.py)."""
