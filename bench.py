@@ -60,6 +60,17 @@ EXTENDED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # plus ~0.2-1.5 s per snp, i.e. ~0.26/s measured at 2 snps including setup.
 PINNED_BASELINE_TPS = 0.26
 
+# North-star-scale serial baseline, measured once on this host (round 5,
+# scripts/measure_baseline_10k.py -> BASELINE_10K.json): the reference
+# pattern at 10k cells x 20 contexts x 125 donors (the cells10k_pairs5k
+# config's exact dataset, seed=1) runs 0.371 steady tests/s after a 341 s
+# setup (11 thin SVDs of the 10000 x 2520 half-factor stacks).  Too slow to
+# re-measure inside the driver's bench window; vs_baseline_10k uses this pin
+# (VERDICT r4 task 4 — anchors the >=100x north-star denominator at the
+# scale it is defined on).
+PINNED_BASELINE_10K_STEADY_TPS = 0.3711
+PINNED_BASELINE_10K_SETUP_S = 340.9
+
 
 def compact_summary(result):
     """One machine-parseable line, hard-capped under 1500 characters.
@@ -72,7 +83,9 @@ def compact_summary(result):
     """
     s = {}
     for k in ("metric", "value", "unit", "vs_baseline",
-              "baseline_tests_per_sec",
+              "vs_baseline_steady", "vs_baseline_10k",
+              "baseline_tests_per_sec", "baseline_steady_tests_per_sec",
+              "baseline_pinned",
               "pvalue_max_abs_diff_vs_reference_style", "backend",
               "warmup_s", "setup_s", "compile_s", "scan_s",
               "kernel_tests_per_sec", "null_fits_per_sec"):
@@ -265,14 +278,20 @@ def main():
     _stage("dataset done")
 
     if baseline_snps > 0:
+        base_timers = {}
         t0 = time.perf_counter()
         pv_base, _ = oracle.scan_interaction_reference_style(
-            d["y"], d["W"], d["E"], Ls=d["Ls"], G=d["G"][:, :baseline_snps]
+            d["y"], d["W"], d["E"], Ls=d["Ls"], G=d["G"][:, :baseline_snps],
+            timers=base_timers,
         )
         baseline_tps = baseline_snps / (time.perf_counter() - t0)
+        # steady-vs-steady accounting (VERDICT r4 weak #1): setup excluded
+        # from BOTH sides (the engine reports setup_s/compile_s separately)
+        baseline_steady_tps = baseline_snps / base_timers["scan_s"]
         baseline_pinned = False
     else:
         pv_base, baseline_tps = None, PINNED_BASELINE_TPS
+        baseline_steady_tps = 0.7   # docs/performance.md r4 measurement
         baseline_pinned = True
     _stage("baseline done")
 
@@ -298,8 +317,16 @@ def main():
         "unit": "tests/s",
         "vs_baseline": (round(head["tests_per_sec"] / baseline_tps, 2)
                         if baseline_tps else None),
+        # vs_baseline: live serial rate INCLUDING the reference's setup
+        # (what a user experiences); vs_baseline_steady: scan-rate vs
+        # scan-rate with setup excluded on both sides — the defensible
+        # steady-state multiple (VERDICT r4 weak #1)
+        "vs_baseline_steady": round(head["tests_per_sec"]
+                                    / baseline_steady_tps, 2),
         "baseline_tests_per_sec": (round(baseline_tps, 4)
                                    if baseline_tps else None),
+        "baseline_steady_tests_per_sec": round(baseline_steady_tps, 4),
+        "baseline_pinned": baseline_pinned,
         "pvalue_max_abs_diff_vs_reference_style": max_abs_diff,
         "backend": backend,
         "config": {
@@ -394,6 +421,15 @@ def main():
         m, _, _ = interaction_metrics(cc, dd["G"], pvalue_method)
         m["n_cells"], m["n_contexts"], m["R"] = (
             sc(10_000), 20, int(cc._ctx.S.shape[1]))
+        if scale == 1.0:
+            # north-star multiple at the scale it is defined on: steady
+            # scan rate vs the serial pattern's measured 10k-cell steady
+            # rate (pinned from BASELINE_10K.json; too slow to re-measure
+            # in the bench window)
+            m["vs_baseline_10k_steady"] = round(
+                m["tests_per_sec"] / PINNED_BASELINE_10K_STEADY_TPS, 1)
+            m["baseline_10k_pinned"] = True
+            result["vs_baseline_10k"] = m["vs_baseline_10k_steady"]
         return m
 
     def _cells50k():
@@ -472,6 +508,40 @@ def main():
             ns / (time.perf_counter() - t0), 1)
         return r
 
+    def _screen2k():
+        # two-pass screen -> confirm at genome-scan significance: the f32
+        # screen runs every pair at the f32 MXU rate, the f64 + Davies
+        # confirm re-tests only sub-threshold pairs (VERDICT r4 task 1)
+        t0 = time.perf_counter()
+        crm.scan_interaction_screen(d["G"], significance=5e-8)
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pv, inf = crm.scan_interaction_screen(d["G"], significance=5e-8)
+        dt = time.perf_counter() - t0
+        return {"tests_per_sec": round(n_snps / dt, 1),
+                "compile_plus_first_s": round(tc, 1),
+                "n_confirmed": int(inf["n_confirmed"]),
+                "speedup_vs_exact_headline": round(
+                    (n_snps / dt) / head["tests_per_sec"], 2)}
+
+    def _screen_multigene(ngenes=16, nsn_target=2048):
+        rng = np.random.default_rng(13)
+        Y = d["y"][:, None] + 0.1 * rng.normal(size=(n_cells, ngenes))
+        nsn = min(nsn_target, n_snps)
+        Gm = d["G"][:, :nsn]
+        t0 = time.perf_counter()
+        crm.scan_interaction_multigene_screen(Y, Gm, gene_batch=ngenes,
+                                              significance=5e-8)
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, inf = crm.scan_interaction_multigene_screen(
+            Y, Gm, gene_batch=ngenes, significance=5e-8)
+        dt = time.perf_counter() - t0
+        return {"gene_variant_pairs_per_sec": round(ngenes * nsn / dt, 1),
+                "compile_plus_first_s": round(tc, 1),
+                "n_genes": ngenes, "n_snps": nsn,
+                "n_confirmed": int(inf["n_confirmed"])}
+
     def _assoc_multigene():
         ngenes = 16
         rng = np.random.default_rng(11)
@@ -530,12 +600,14 @@ def main():
     # kill safe (a kill loses only the in-flight config's row).
     _try("betas_2k", _betas2k, est_s=25)
     _try("assoc_fast_2k", _assoc_fast, est_s=15)
+    _try("screen_2k", _screen2k, est_s=30)
     _try("cells10k_pairs5k", _cells10k, est_s=125)
     _try("contexts50", _c50, est_s=60)
     _try("cells50k_pairs100k", _cells50k, est_s=75)
     _try("multigene_16", _multigene, est_s=40)
     _try("multigene_cis_128",
          lambda: _multigene(nsn_target=128, compare_loop=False), est_s=10)
+    _try("screen_multigene_16", _screen_multigene, est_s=45)
     _try("assoc_multigene_16", _assoc_multigene, est_s=20)
     _try("betas_100k_stretch", _betas100k, est_s=105)
 

@@ -44,6 +44,7 @@ from .api import (
     run_association_multigene,
     run_interaction,
     run_interaction_multigene,
+    run_interaction_screen,
     estimate_betas,
     get_L_values,
 )
@@ -75,6 +76,7 @@ __all__ = [
     "run_association_multigene",
     "run_interaction",
     "run_interaction_multigene",
+    "run_interaction_screen",
     "estimate_betas",
     "get_L_values",
     "scan_interaction_plink",

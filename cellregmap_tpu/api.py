@@ -127,6 +127,7 @@ class CellRegMap:
         self._n = n
         self._rho_grid = rho_grid
         self._ctx_cache = None
+        self._ctx32_cache = None
         self._dtype = dtype
         self._null_assoc = None
         self._bctx = None
@@ -172,6 +173,7 @@ class CellRegMap:
         new._ctx_cache = self._ctx._replace(
             y=yj, Zy=self._ctx.Z.T @ yj, Wy=self._ctx.W.T @ yj, yy=yj @ yj
         )
+        new._ctx32_cache = None
         new._null_assoc = None
         # the betas context's y-independent parts (background eigenbasis,
         # reduced design) are shared; only the y-rotations are recomputed
@@ -313,6 +315,212 @@ class CellRegMap:
                             **{f"s_{k.rsplit('/', 1)[-1]}": round(v, 4)
                                for k, v in timers.summary().items()})
         return np.asarray(pvalues, float), info
+
+    # -- two-pass screen -> confirm (f32 screen, f64 + Davies confirm) -----
+    def _with_config(self, config: ScanConfig) -> "CellRegMap":
+        """A view of this scanner with a different config (shared caches)."""
+        new = object.__new__(CellRegMap)
+        new.__dict__ = dict(self.__dict__)
+        new._cfg = config
+        return new
+
+    @property
+    def _ctx32(self):
+        """Float32 copy of the null context, built lazily for the screen
+        pass.  TPU f64 is software-emulated (the measured roofline puts
+        f32 matmul at >=11x the f64 emulation ceiling,
+        docs/performance.md); the screen pass runs the WHOLE interaction
+        kernel in f32 and the confirm pass re-tests candidate hits through
+        the full f64 + Davies path."""
+        if self._ctx32_cache is None:
+            self._ctx32_cache = jax.tree.map(
+                lambda a: a.astype(jnp.float32), self._ctx)
+        return self._ctx32_cache
+
+    def _confirm_scanner(self) -> "CellRegMap":
+        """Scanner used by the confirm pass: exact Davies tails always."""
+        if self._cfg.dtype != "float64":
+            raise ValueError(
+                "screen->confirm scans need a float64 base config (the "
+                "confirm pass re-tests hits at full precision)")
+        if self._cfg.pvalue_method == "davies":
+            return self
+        import dataclasses
+
+        return self._with_config(dataclasses.replace(
+            self._cfg, pvalue_method="davies"))
+
+    def scan_interaction_screen(self, G, significance: float = 5e-8,
+                                screen_margin: float = 100.0):
+        """Two-pass interaction scan: f32 screen of every pair, exact
+        f64 + Davies re-test of candidate hits.
+
+        Pass 1 runs the full interaction kernel (REML fits, score
+        statistic, mixture weights, saddlepoint tail) in float32 — on TPU
+        this runs at the f32 MXU rate, >=11x the emulated-f64 ceiling.
+        Pass 2 gathers every pair whose screen p-value falls below
+        ``significance * screen_margin`` (or is non-finite) and re-tests it
+        through the standard full-precision path with exact Davies tails.
+
+        Contract: any pair whose full-f64 p-value is below ``significance``
+        is (a) in the confirmed set and (b) reported with its exact
+        f64 + Davies p-value, PROVIDED the screen error stays within
+        ``screen_margin`` (measured max |log10 pv32/pv64| is ~1e-2 decades
+        at production shapes — see docs/performance.md and
+        tests/test_screen.py — vs the default margin of 2 decades).
+        Pairs above the threshold carry the f32 saddlepoint approximation.
+
+        Returns ``(pvalues, info)``; ``info["confirmed"]`` marks re-tested
+        pairs, ``info["screen_pv"]`` keeps the raw screen p-values.
+
+        This generalizes the reference's only genome-scale answer
+        (``scan_association_fast``, _cellregmap.py:284-314) to the
+        interaction scan: exact where it matters, fast everywhere else.
+        """
+        cfg = self._cfg
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_snps = G.shape[1]
+        thr = min(1.0, float(significance) * float(screen_margin))
+
+        ctx32 = self._ctx32
+        # f32 temporaries are ~8x smaller than the f64 limb-expanded ones
+        # (_auto_batch_cap budgets 32 B/elem), so the screen can run wider
+        # batches; 4x keeps slack for the f32 score tensors
+        batch = min(cfg.snp_batch * 2, 4 * self._auto_batch_cap(),
+                    max(n_snps, 1))
+        Gp, _ = _pad_batch(G, batch)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
+
+        def _launch(start):
+            gb = jnp.asarray(Gp[:, start : start + batch], jnp.float32)
+            return engine.interaction_kernel(
+                ctx32, gb, gb, self._n, delta_cfg=delta_cfg,
+                device_pvalues=True)
+
+        outs = _pipelined(range(0, Gp.shape[1], batch), _launch)
+        scr = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n_snps]
+               for k in outs[0]}
+        sp = np.asarray(scr["pv_saddlepoint"], float)
+        liu = np.asarray(scr["pv_liu"], float)
+        screen_pv = np.where(np.isfinite(sp), sp, liu)
+
+        hits = (~np.isfinite(screen_pv)) | (screen_pv < thr)
+        idx = np.flatnonzero(hits)
+
+        pvalues = np.asarray(screen_pv, float).copy()
+        info = {k: np.asarray(scr[k], float)
+                for k in ("rho1", "e2", "g2", "eps2", "Q")}
+        if idx.size:
+            # pad the hit set to one canonical confirm width so every
+            # screen run shares a single compiled f64 program
+            cb = min(cfg.snp_batch, self._auto_batch_cap())
+            Gh = G[:, idx]
+            pad = (-Gh.shape[1]) % cb
+            if pad:
+                Gh = np.concatenate(
+                    [Gh, np.repeat(Gh[:, :1], pad, axis=1)], axis=1)
+            pv_c, info_c = self._confirm_scanner().scan_interaction(Gh)
+            pvalues[idx] = pv_c[: idx.size]
+            for k in info:
+                info[k][idx] = np.asarray(info_c[k], float)[: idx.size]
+        info["screen_pv"] = screen_pv
+        info["confirmed"] = hits
+        info["screen_threshold"] = thr
+        info["n_confirmed"] = int(idx.size)
+        return pvalues, info
+
+    def scan_interaction_multigene_screen(self, Y, G, gene_batch: int = 16,
+                                          significance: float = 5e-8,
+                                          screen_margin: float = 100.0):
+        """Gene-batched two-pass screen -> confirm interaction scan.
+
+        Pass 1 runs the gene-batched f32 kernel over every (gene, variant)
+        pair (see :meth:`scan_interaction_screen` for the precision
+        contract); pass 2 re-tests each gene's candidate hits through the
+        exact single-gene f64 + Davies path (hit sets are padded to one
+        canonical width, so the confirm pass compiles once).
+
+        Returns ``(pvalues (n_genes, n_snps), info)`` with
+        ``info["confirmed"]`` / ``info["screen_pv"]`` shaped like pvalues.
+        """
+        cfg = self._cfg
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_genes, n_snps = Y.shape[1], G.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+        thr = min(1.0, float(significance) * float(screen_margin))
+
+        ctx32 = self._ctx32
+        R = int(self._ctx.S.shape[1])
+        nrho = int(self._ctx.S.shape[0])
+        C = int(self._ctx.E0.shape[1])
+        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 4 * 2  # f32 bytes
+        batch = min(cfg.snp_batch * 2, max(16, int(5e9 / per_gv / gtile)))
+        Gp, _ = _pad_batch(G, batch)
+        Yp, _ = _pad_batch(Y, gtile)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
+        Z32, W32 = ctx32.Z, ctx32.W
+
+        tiles = []
+        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
+                                cfg.progress, "screen_multigene"):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], jnp.float32)
+            ctx_g = ctx32._replace(
+                y=Yt.T, Zy=(Z32.T @ Yt).T, Wy=(W32.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            outs = _pipelined(
+                range(0, Gp.shape[1], batch),
+                lambda start: engine.interaction_multigene_kernel(
+                    ctx_g, jnp.asarray(Gp[:, start : start + batch],
+                                       jnp.float32),
+                    jnp.asarray(Gp[:, start : start + batch], jnp.float32),
+                    self._n, delta_cfg=delta_cfg, device_pvalues=True),
+                window=2,
+            )
+            tiles.append({k: np.concatenate(
+                [np.asarray(o[k]) for o in outs], axis=1)[:, :n_snps]
+                for k in outs[0]})
+        scr = {k: np.concatenate([t[k] for t in tiles])[:n_genes]
+               for k in tiles[0]}
+        sp = np.asarray(scr["pv_saddlepoint"], float)
+        liu = np.asarray(scr["pv_liu"], float)
+        screen_pv = np.where(np.isfinite(sp), sp, liu)
+
+        hits = (~np.isfinite(screen_pv)) | (screen_pv < thr)
+        pvalues = np.asarray(screen_pv, float).copy()
+        info = {k: np.asarray(scr[k], float)
+                for k in ("rho1", "e2", "g2", "eps2", "Q")}
+
+        confirm = self._confirm_scanner()
+        cb = min(cfg.snp_batch, self._auto_batch_cap())
+        for g in range(n_genes):
+            idx = np.flatnonzero(hits[g])
+            if not idx.size:
+                continue
+            Gh = G[:, idx]
+            pad = (-Gh.shape[1]) % cb
+            if pad:
+                Gh = np.concatenate(
+                    [Gh, np.repeat(Gh[:, :1], pad, axis=1)], axis=1)
+            pv_c, info_c = confirm.with_phenotype(
+                Y[:, g]).scan_interaction(Gh)
+            pvalues[g, idx] = pv_c[: idx.size]
+            for k in info:
+                info[k][g, idx] = np.asarray(info_c[k], float)[: idx.size]
+        info["screen_pv"] = screen_pv
+        info["confirmed"] = hits
+        info["screen_threshold"] = thr
+        info["n_confirmed"] = int(hits.sum())
+        return pvalues, info
 
     def scan_interaction_multigene(self, Y, G, gene_batch: int = 16,
                                    checkpoint=None,
@@ -896,6 +1104,23 @@ def run_interaction(y, E, G, W=None, E1=None, E2=None, hK=None, idx_G=None,
     Ls = None if hK is None else get_L_values(hK, E2)
     crm = CellRegMap(y=y, E=E, W=W, E1=E1, Ls=Ls, config=config)
     return crm.scan_interaction(G, idx_G=idx_G)
+
+
+def run_interaction_screen(y, E, G, W=None, E1=None, E2=None, hK=None,
+                           significance: float = 5e-8,
+                           screen_margin: float = 100.0,
+                           config: ScanConfig = DEFAULT_CONFIG):
+    """Two-pass interaction scan: f32 screen of every pair, exact
+    f64 + Davies re-test of candidate hits (pairs with screen p-value
+    below ``significance * screen_margin``).  See
+    :meth:`CellRegMap.scan_interaction_screen` for the precision contract.
+    """
+    E1 = E if E1 is None else E1
+    E2 = E if E2 is None else E2
+    Ls = None if hK is None else get_L_values(hK, E2)
+    crm = CellRegMap(y=y, E=E, W=W, E1=E1, Ls=Ls, config=config)
+    return crm.scan_interaction_screen(G, significance=significance,
+                                       screen_margin=screen_margin)
 
 
 def run_association(y, W, E, G, hK=None, config: ScanConfig = DEFAULT_CONFIG):
