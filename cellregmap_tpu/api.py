@@ -57,6 +57,55 @@ def _pipelined(starts, launch, window: int = 4):
     return outs
 
 
+def _run_checkpointed(starts, launch, checkpoint, ck_meta,
+                      checkpoint_every: int = 1, axes=None, progress=False,
+                      desc: str = "scan"):
+    """Run ``launch(start) -> dict of arrays`` for every start with an
+    optional durable cursor checkpoint (SURVEY 5.3/5.4).
+
+    Without a checkpoint the batches run pipelined (window 4).  With one,
+    batches serialize so every completed batch is durable before the next
+    dispatch; a restarted call with matching ``ck_meta`` (shapes + content
+    fingerprints) resumes at the cursor.  ``axes`` maps result keys to
+    their concatenation axis (default 0).  Returns the concatenated dict.
+    """
+    axes = axes or {}
+    cat = lambda accs: {k: np.concatenate([np.asarray(a[k]) for a in accs],
+                                          axis=axes.get(k, 0))
+                        for k in accs[0]}
+    ckpt = None
+    done = 0
+    acc = []
+    if checkpoint is not None:
+        from .parallel.checkpoint import ScanCheckpoint
+
+        ckpt = ScanCheckpoint(checkpoint)
+        state = ckpt.load()
+        if (state is not None
+                and all(state["meta"].get(k) == v
+                        for k, v in ck_meta.items())):
+            done = state["cursor"]
+            acc = [dict(state["results"])]
+    todo = list(starts)[done:]
+    n_total = len(list(starts))
+    if ckpt is None:
+        outs = _pipelined(_batch_starts(todo, 1, progress, desc), launch)
+        acc.extend({k: np.asarray(v) for k, v in o.items()} for o in outs)
+    else:
+        for s in _batch_starts(todo, 1, progress, desc):
+            out = jax.device_get(launch(s))
+            acc.append({k: np.asarray(v) for k, v in out.items()})
+            done += 1
+            if done % checkpoint_every == 0 or done == n_total:
+                flat = cat(acc)
+                ckpt.save(done, flat, ck_meta)
+                acc = [flat]
+    flat = cat(acc) if acc else {}
+    if ckpt is not None:
+        ckpt.clear()
+    return flat
+
+
 def _content_sha(*arrays) -> str:
     """Short content fingerprint of checkpoint inputs (resume safety)."""
     import hashlib
@@ -766,8 +815,13 @@ class CellRegMap:
             "eps2": np.asarray([float(fits.v1[k])]),
         }
 
-    def scan_association(self, G):
-        """LRT association scan with per-variant ML refits (reference :246-281)."""
+    def scan_association(self, G, checkpoint=None, checkpoint_every: int = 1):
+        """LRT association scan with per-variant ML refits (reference :246-281).
+
+        ``checkpoint``: optional directory; completed variant batches are
+        persisted (cursor + alt-lml table, inputs fingerprinted) and a
+        restarted scan resumes at the cursor (SURVEY 5.3/5.4).
+        """
         G = np.asarray(G, float)
         if G.ndim == 1:
             G = G[:, None]
@@ -783,22 +837,28 @@ class CellRegMap:
         Gp, n_snps = _pad_batch(G, batch)
         def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
-            return engine.association_refit_kernel(
-                self._ctx, gb, k, self._n, delta_cfg=delta_cfg
-            )[0]
+            return {"lml": engine.association_refit_kernel(
+                self._ctx, gb, k, self._n, delta_cfg=delta_cfg)[0]}
 
-        alt = _pipelined(
-            _batch_starts(Gp.shape[1], batch, cfg.progress,
-                          "scan_association"),
-            _launch,
-        )
-        alt_lmls = np.concatenate(alt)[:n_snps]
+        ck_meta = {"scan": "association", "n_snps": n_snps, "batch": batch,
+                   "k_rho": int(k),
+                   "inputs_sha": (_content_sha(self._y, G)
+                                  if checkpoint else None)}
+        res = _run_checkpointed(
+            range(0, Gp.shape[1], batch), _launch, checkpoint, ck_meta,
+            checkpoint_every, progress=cfg.progress,
+            desc="scan_association")
+        alt_lmls = res["lml"][:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
         return np.asarray(pv, float), self._assoc_info(fits, k)
 
-    def scan_association_fast(self, G):
-        """LRT association scan via the closed-form fast scanner (:284-314)."""
+    def scan_association_fast(self, G, checkpoint=None,
+                              checkpoint_every: int = 1):
+        """LRT association scan via the closed-form fast scanner (:284-314).
+
+        ``checkpoint`` as in :meth:`scan_association`.
+        """
         G = np.asarray(G, float)
         if G.ndim == 1:
             G = G[:, None]
@@ -811,16 +871,25 @@ class CellRegMap:
         Gp, n_snps = _pad_batch(G, batch)
         def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], self._dtype)
-            return engine.fast_scan_kernel(self._ctx, gb, k, delta,
-                                           self._n).lml
+            return {"lml": engine.fast_scan_kernel(self._ctx, gb, k, delta,
+                                                   self._n).lml}
 
-        alt = _pipelined(range(0, Gp.shape[1], batch), _launch)
-        alt_lmls = np.concatenate(alt)[:n_snps]
+        ck_meta = {"scan": "association_fast", "n_snps": n_snps,
+                   "batch": batch, "k_rho": int(k),
+                   "inputs_sha": (_content_sha(self._y, G)
+                                  if checkpoint else None)}
+        res = _run_checkpointed(
+            range(0, Gp.shape[1], batch), _launch, checkpoint, ck_meta,
+            checkpoint_every, progress=cfg.progress,
+            desc="scan_association_fast")
+        alt_lmls = res["lml"][:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
         return np.asarray(pv, float), self._assoc_info(fits, k)
 
-    def scan_association_multigene(self, Y, G, gene_batch: int = 16):
+    def scan_association_multigene(self, Y, G, gene_batch: int = 16,
+                                   checkpoint=None,
+                                   checkpoint_every: int = 1):
         """Slow (per-variant ML refit) association scan for many genes.
 
         ``Y`` is (n_cells, n_genes).  Per gene tile: vmapped covariate-only
@@ -857,9 +926,7 @@ class CellRegMap:
         Z, W = self._ctx.Z, self._ctx.W
         rho_grid = np.asarray(self._ctx.rho)
 
-        pv_tiles, info_tiles = [], []
-        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
-                                cfg.progress, "assoc_multigene"):
+        def _tile(g0):
             Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
             ctx_g = self._ctx._replace(
                 y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
@@ -882,22 +949,27 @@ class CellRegMap:
             )
             alt = np.concatenate([np.asarray(o) for o in outs],
                                  axis=1)[:, :n_snps]         # (gtile, S)
-            pv_tiles.append(lrt_pvalues(null_lml[:, None], alt, dof=1,
-                                        clip_lo=cfg.pv_clip_lo,
-                                        clip_hi=cfg.pv_clip_hi))
+            pv = lrt_pvalues(null_lml[:, None], alt, dof=1,
+                             clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
             rho1 = (rho_grid[k] if rho_grid.shape[0] > 1
                     else np.ones(k.shape[0]))
             v0 = fits.v0[rows, k]
-            info_tiles.append({
-                "rho1": rho1, "e2": v0 * rho1, "g2": v0 * (1 - rho1),
-                "eps2": fits.v1[rows, k],
-            })
-        pvalues = np.concatenate(pv_tiles)[:n_genes]
-        info = {kk: np.concatenate([t[kk] for t in info_tiles])[:n_genes]
-                for kk in info_tiles[0]}
+            return {"pv": np.asarray(pv), "rho1": rho1, "e2": v0 * rho1,
+                    "g2": v0 * (1 - rho1), "eps2": fits.v1[rows, k]}
+
+        ck_meta = {"scan": "association_multigene", "n_snps": n_snps,
+                   "n_genes": n_genes, "gtile": gtile, "batch": batch,
+                   "inputs_sha": _content_sha(Y, G) if checkpoint else None}
+        res = _run_checkpointed(
+            range(0, Yp.shape[1], gtile), _tile, checkpoint, ck_meta,
+            checkpoint_every, progress=cfg.progress, desc="assoc_multigene")
+        pvalues = res.pop("pv")[:n_genes]
+        info = {kk: v[:n_genes] for kk, v in res.items()}
         return np.asarray(pvalues, float), info
 
-    def scan_association_fast_multigene(self, Y, G, gene_batch: int = 64):
+    def scan_association_fast_multigene(self, Y, G, gene_batch: int = 64,
+                                        checkpoint=None,
+                                        checkpoint_every: int = 1):
         """Closed-form association scan for many genes in one program.
 
         ``Y`` is (n_cells, n_genes).  Per gene tile: the covariate-only
@@ -938,9 +1010,7 @@ class CellRegMap:
         Z, W = self._ctx.Z, self._ctx.W
         rho_grid = np.asarray(self._ctx.rho)
 
-        pv_tiles, info_tiles = [], []
-        for g0 in _batch_starts(range(0, Yp.shape[1], gtile), gtile,
-                                cfg.progress, "assoc_fast_multigene"):
+        def _tile(g0):
             Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], self._dtype)
             ctx_g = self._ctx._replace(
                 y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
@@ -963,19 +1033,23 @@ class CellRegMap:
             )
             alt = np.concatenate([np.asarray(o) for o in outs],
                                  axis=1)[:, :n_snps]         # (gtile, S)
-            pv_tiles.append(lrt_pvalues(null_lml[:, None], alt, dof=1,
-                                        clip_lo=cfg.pv_clip_lo,
-                                        clip_hi=cfg.pv_clip_hi))
+            pv = lrt_pvalues(null_lml[:, None], alt, dof=1,
+                             clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
             rho1 = (rho_grid[k] if rho_grid.shape[0] > 1
                     else np.ones(k.shape[0]))
             v0 = fits.v0[rows, k]
-            info_tiles.append({
-                "rho1": rho1, "e2": v0 * rho1, "g2": v0 * (1 - rho1),
-                "eps2": fits.v1[rows, k],
-            })
-        pvalues = np.concatenate(pv_tiles)[:n_genes]
-        info = {kk: np.concatenate([t[kk] for t in info_tiles])[:n_genes]
-                for kk in info_tiles[0]}
+            return {"pv": np.asarray(pv), "rho1": rho1, "e2": v0 * rho1,
+                    "g2": v0 * (1 - rho1), "eps2": fits.v1[rows, k]}
+
+        ck_meta = {"scan": "association_fast_multigene", "n_snps": n_snps,
+                   "n_genes": n_genes, "gtile": gtile, "batch": batch,
+                   "inputs_sha": _content_sha(Y, G) if checkpoint else None}
+        res = _run_checkpointed(
+            range(0, Yp.shape[1], gtile), _tile, checkpoint, ck_meta,
+            checkpoint_every, progress=cfg.progress,
+            desc="assoc_fast_multigene")
+        pvalues = res.pop("pv")[:n_genes]
+        info = {kk: v[:n_genes] for kk, v in res.items()}
         return np.asarray(pvalues, float), info
 
     # -- effect sizes ------------------------------------------------------
@@ -993,10 +1067,15 @@ class CellRegMap:
             )
         return self._bctx
 
-    def predict_interaction(self, G, MAF):
+    def predict_interaction(self, G, MAF, checkpoint=None,
+                            checkpoint_every: int = 1):
         """Effect-size decomposition per variant (reference :137-205).
 
         Returns ``(beta_g (S,), beta_gxe (n, S))``.
+
+        ``checkpoint``: optional directory; completed variant batches are
+        persisted (inputs fingerprinted) and a restarted call resumes at
+        the batch cursor (SURVEY 5.3/5.4).
         """
         cfg = self._cfg
         G = np.asarray(G, float)
@@ -1023,11 +1102,17 @@ class CellRegMap:
                 bctx, gb, nb, self._n, delta_cfg=delta_cfg,
                 localize_f32=cfg.hybrid_localization,
             )
-            return beta_g, alpha
+            return {"beta_g": beta_g, "alpha": alpha}
 
-        outs = _pipelined(range(0, Gp.shape[1], batch), _launch)
-        beta_g = np.concatenate([o[0] for o in outs])[:n_snps]
-        alpha = np.concatenate([o[1] for o in outs], axis=1)[:, :n_snps]
+        ck_meta = {"scan": "betas", "n_snps": n_snps, "batch": batch,
+                   "inputs_sha": (_content_sha(self._y, G, norm)
+                                  if checkpoint else None)}
+        res = _run_checkpointed(
+            range(0, Gp.shape[1], batch), _launch, checkpoint, ck_meta,
+            checkpoint_every, axes={"alpha": 1}, progress=cfg.progress,
+            desc="predict_interaction")
+        beta_g = res["beta_g"][:n_snps]
+        alpha = res["alpha"][:, :n_snps]
         beta_gxe = self._E0 @ alpha                              # (n, S)
         return beta_g, beta_gxe
 
@@ -1195,10 +1280,11 @@ def run_association_fast_multigene(Y, E, G, W=None, hK=None, Ls=None,
 
 
 def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,
-                   config: ScanConfig = DEFAULT_CONFIG):
+                   checkpoint=None, config: ScanConfig = DEFAULT_CONFIG):
     """Effect sizes: persistent beta_G and cell-level beta_GxC.
 
-    Reference: _cellregmap.py:640-682.
+    Reference: _cellregmap.py:640-682.  ``checkpoint``: optional directory
+    for durable batch checkpoints (crash -> resume).
     """
     E1 = E if E1 is None else E1
     E2 = E if E2 is None else E2
@@ -1206,4 +1292,4 @@ def estimate_betas(y, W, E, G, maf=None, E1=None, E2=None, hK=None,
     crm = CellRegMap(y=y, E=E, W=W, E1=E1, Ls=Ls, config=config)
     if maf is None:
         maf = compute_maf(G)
-    return crm.predict_interaction(G, maf)
+    return crm.predict_interaction(G, maf, checkpoint=checkpoint)
