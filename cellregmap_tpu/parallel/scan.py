@@ -229,10 +229,17 @@ class ShardedScanner:
                for k in tiles[0]}
         return crm._multigene_ladder(res, n_genes, n_snps)
 
-    def scan_association_fast(self, G):
+    @property
+    def _ckpt_dir(self):
+        return str(self.ckpt.path) if self.ckpt is not None else None
+
+    def scan_association_fast(self, G, checkpoint_every: int = 1):
         """Sharded equivalent of ``CellRegMap.scan_association_fast``:
         closed-form LRT association with the variant axis split over the
-        mesh (null fit on one device, replicated)."""
+        mesh (null fit on one device, replicated).  With a checkpoint
+        directory, completed batches are durable and a restarted call
+        resumes at the cursor."""
+        from ..api import _content_sha, _run_checkpointed
         from ..models.pvalues import lrt_pvalues
 
         crm = self.crm
@@ -251,26 +258,208 @@ class ShardedScanner:
         rem = (-n_snps) % step
         Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
               if rem else G)
-        alt = []
-        fn = None
-        for b in range(0, Gp.shape[1], step):
+        fn_c = {}
+
+        def _launch(b):
             gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
-            if fn is None:  # one compile for all equally-shaped batches
-                fn = build_sharded_fast_scan(self.mesh, crm._ctx, gb, k,
-                                             delta, crm._n)
-            alt.append(np.asarray(fn(crm._ctx, gb).lml))
-        alt_lmls = np.concatenate(alt)[:n_snps]
+            if "fn" not in fn_c:  # one compile for all same-shape batches
+                fn_c["fn"] = build_sharded_fast_scan(
+                    self.mesh, crm._ctx, gb, k, delta, crm._n)
+            return {"lml": fn_c["fn"](crm._ctx, gb).lml}
+
+        ck_meta = {"scan": "sharded_association_fast", "n_snps": n_snps,
+                   "step": step, "k_rho": int(k),
+                   "inputs_sha": (_content_sha(crm._y, G)
+                                  if self.ckpt else None)}
+        res = _run_checkpointed(
+            range(0, Gp.shape[1], step), _launch, self._ckpt_dir, ck_meta,
+            checkpoint_every, progress=cfg.progress,
+            desc="sharded_assoc_fast")
+        alt_lmls = res["lml"][:n_snps]
         pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
                          clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
         return np.asarray(pv, float), crm._assoc_info(fits, k)
 
-    def predict_interaction(self, G, MAF):
+    def scan_association(self, G, checkpoint_every: int = 1):
+        """Sharded equivalent of ``CellRegMap.scan_association``: the
+        per-variant Newton ML refits run on each device's shard of the
+        variant axis (null fit replicated).  Equality vs the local driver
+        is pinned in tests/test_parallel.py."""
+        from ..api import _content_sha, _run_checkpointed
+        from ..models.pvalues import lrt_pvalues
+
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_snps = G.shape[1]
+        fits, k = crm._fit_null_association()
+        null_lml = float(fits.lml[k])
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+
+        per_dev = max(1, min(min(cfg.snp_batch,
+                                 crm._auto_batch_cap("association")),
+                             -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+              if rem else G)
+        fn_c = {}
+
+        def _launch(b):
+            gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
+            if "fn" not in fn_c:
+                fn_c["fn"] = build_sharded_association_refit(
+                    self.mesh, crm._ctx, gb, k, crm._n,
+                    delta_cfg=delta_cfg,
+                    localize_f32=cfg.hybrid_localization)
+            return {"lml": fn_c["fn"](crm._ctx, gb)[0]}
+
+        ck_meta = {"scan": "sharded_association", "n_snps": n_snps,
+                   "step": step, "k_rho": int(k),
+                   "inputs_sha": (_content_sha(crm._y, G)
+                                  if self.ckpt else None)}
+        res = _run_checkpointed(
+            range(0, Gp.shape[1], step), _launch, self._ckpt_dir, ck_meta,
+            checkpoint_every, progress=cfg.progress,
+            desc="sharded_assoc")
+        alt_lmls = res["lml"][:n_snps]
+        pv = lrt_pvalues(null_lml, alt_lmls, dof=1,
+                         clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
+        return np.asarray(pv, float), crm._assoc_info(fits, k)
+
+    def _multigene_assoc_tiles(self, Y, G, gene_batch, kernel_builder,
+                               use_delta, checkpoint_every, scan_name):
+        """Shared tile driver for the sharded multigene association scans:
+        per gene tile, vmapped covariate-only null fits (replicated), then
+        the sharded gene-batched alternative kernel over variant batches.
+        """
+        from .. import engine as eng
+        from ..api import _content_sha, _run_checkpointed
+        from ..models.pvalues import lrt_pvalues
+
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        Y = np.asarray(Y, float)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_genes, n_snps = Y.shape[1], G.shape[1]
+        gtile = max(1, min(gene_batch, n_genes))
+        per_dev = max(1, min(cfg.snp_batch, -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+              if rem else G)
+        remg = (-n_genes) % gtile
+        Yp = (np.concatenate([Y, np.repeat(Y[:, :1], remg, axis=1)], axis=1)
+              if remg else Y)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        Z, W = crm._ctx.Z, crm._ctx.W
+        rho_grid = np.asarray(crm._ctx.rho)
+        fn_c = {}
+
+        def _tile(g0):
+            Yt = jnp.asarray(Yp[:, g0 : g0 + gtile], crm._dtype)
+            ctx_g = crm._ctx._replace(
+                y=Yt.T, Zy=(Z.T @ Yt).T, Wy=(W.T @ Yt).T,
+                yy=jnp.sum(Yt * Yt, axis=0),
+            )
+            fits, k = eng.null_association_multigene_kernel(
+                ctx_g, crm._n, restricted=False, delta_cfg=delta_cfg)
+            fits = jax.device_get(fits)
+            k = np.asarray(k)
+            rows = np.arange(k.shape[0])
+            null_lml = fits.lml[rows, k]
+            kj = jnp.asarray(k)
+            dj = jnp.asarray(fits.delta[rows, k], crm._dtype)
+            alt = []
+            for b in range(0, Gp.shape[1], step):
+                gb = jnp.asarray(Gp[:, b : b + step], crm._dtype)
+                if "fn" not in fn_c:
+                    fn_c["fn"] = kernel_builder(ctx_g, gb)
+                if use_delta:
+                    out = fn_c["fn"](ctx_g, gb, kj, dj).lml
+                else:
+                    out = fn_c["fn"](ctx_g, gb, kj)[0]
+                alt.append(np.asarray(out))
+            alt = np.concatenate(alt, axis=1)[:, :n_snps]
+            pv = lrt_pvalues(null_lml[:, None], alt, dof=1,
+                             clip_lo=cfg.pv_clip_lo, clip_hi=cfg.pv_clip_hi)
+            rho1 = (rho_grid[k] if rho_grid.shape[0] > 1
+                    else np.ones(k.shape[0]))
+            v0 = fits.v0[rows, k]
+            return {"pv": np.asarray(pv), "rho1": rho1, "e2": v0 * rho1,
+                    "g2": v0 * (1 - rho1), "eps2": fits.v1[rows, k]}
+
+        ck_meta = {"scan": scan_name, "n_snps": n_snps, "n_genes": n_genes,
+                   "gtile": gtile, "step": step,
+                   "inputs_sha": (_content_sha(Y, G) if self.ckpt
+                                  else None)}
+        res = _run_checkpointed(
+            range(0, Yp.shape[1], gtile), _tile, self._ckpt_dir, ck_meta,
+            checkpoint_every, progress=cfg.progress, desc=scan_name)
+        pvalues = res.pop("pv")[:n_genes]
+        info = {kk: v[:n_genes] for kk, v in res.items()}
+        return np.asarray(pvalues, float), info
+
+    def scan_association_multigene(self, Y, G, gene_batch: int = 16,
+                                   checkpoint_every: int = 1):
+        """Sharded equivalent of
+        ``CellRegMap.scan_association_multigene``: per (gene, variant)
+        Newton ML refits with genes replicated and variants sharded."""
+        crm = self.crm
+        cfg = crm._cfg
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid, cfg.n_golden_iters)
+        builder = lambda ctx_g, gb: build_sharded_association_refit_multigene(
+            self.mesh, ctx_g, gb, crm._n, delta_cfg=delta_cfg,
+            localize_f32=cfg.hybrid_localization)
+        return self._multigene_assoc_tiles(
+            Y, G, gene_batch, builder, use_delta=False,
+            checkpoint_every=checkpoint_every,
+            scan_name="sharded_association_multigene")
+
+    def scan_association_fast_multigene(self, Y, G, gene_batch: int = 64,
+                                        checkpoint_every: int = 1):
+        """Sharded equivalent of
+        ``CellRegMap.scan_association_fast_multigene``: gene-batched
+        closed-form alternative lmls with variants sharded (wires
+        ``build_sharded_fast_scan_multigene`` to the null fits + padding,
+        VERDICT r4 task 3)."""
+        crm = self.crm
+
+        def builder(ctx_g, gb):
+            import jax.numpy as _jnp
+
+            gtile = int(np.asarray(ctx_g.yy).shape[0])
+            k_d = _jnp.zeros((gtile,), _jnp.int64)
+            d_d = _jnp.zeros((gtile,), crm._dtype)
+            return build_sharded_fast_scan_multigene(
+                self.mesh, ctx_g, gb, k_d, d_d, crm._n)
+
+        return self._multigene_assoc_tiles(
+            Y, G, gene_batch, builder, use_delta=True,
+            checkpoint_every=checkpoint_every,
+            scan_name="sharded_association_fast_multigene")
+
+    def predict_interaction(self, G, MAF, checkpoint_every: int = 1):
         """Sharded equivalent of ``CellRegMap.predict_interaction``:
         effect-size estimation with the variant axis split over the mesh.
 
         Returns ``(beta_g (S,), beta_gxe (n, S))`` identical to the local
-        driver (equality pinned in tests/test_parallel.py).
+        driver (equality pinned in tests/test_parallel.py).  With a
+        checkpoint directory, completed batches are durable.
         """
+        from ..api import _content_sha, _run_checkpointed
+
         crm = self.crm
         cfg = crm._cfg
         nd = self.n_devices
@@ -293,21 +482,27 @@ class ShardedScanner:
             norm = np.concatenate([norm, np.repeat(norm[:1], rem)])
         delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
                      min(16, cfg.n_delta_grid), cfg.n_golden_iters)
+        fn_c = {}
 
-        bg_parts, alpha_parts = [], []
-        fn = None
-        for b in range(0, G.shape[1], step):
+        def _launch(b):
             gb = jnp.asarray(G[:, b : b + step], crm._dtype)
             nb = jnp.asarray(norm[b : b + step], crm._dtype)
-            if fn is None:  # one compile for all equally-shaped batches
-                fn = build_sharded_betas(
+            if "fn" not in fn_c:  # one compile for all same-shape batches
+                fn_c["fn"] = build_sharded_betas(
                     self.mesh, bctx, gb, nb, crm._n, delta_cfg=delta_cfg,
                     localize_f32=cfg.hybrid_localization)
-            beta_g, alpha, _ = fn(bctx, gb, nb)
-            bg_parts.append(np.asarray(beta_g))
-            alpha_parts.append(np.asarray(alpha))
-        beta_g = np.concatenate(bg_parts)[:n_snps]
-        alpha = np.concatenate(alpha_parts, axis=1)[:, :n_snps]
+            beta_g, alpha, _ = fn_c["fn"](bctx, gb, nb)
+            return {"beta_g": beta_g, "alpha": alpha}
+
+        ck_meta = {"scan": "sharded_betas", "n_snps": n_snps, "step": step,
+                   "inputs_sha": (_content_sha(crm._y, G, norm)
+                                  if self.ckpt else None)}
+        res = _run_checkpointed(
+            range(0, G.shape[1], step), _launch, self._ckpt_dir, ck_meta,
+            checkpoint_every, axes={"alpha": 1}, progress=cfg.progress,
+            desc="sharded_betas")
+        beta_g = res["beta_g"][:n_snps]
+        alpha = res["alpha"][:, :n_snps]
         beta_gxe = crm._E0 @ alpha
         return beta_g, beta_gxe
 
@@ -465,13 +660,11 @@ def sharded_fast_scan(mesh: Mesh, ctx, G, k_rho, delta, n: int):
     return build_sharded_fast_scan(mesh, ctx, G, k_rho, delta, n)(ctx, G)
 
 
-def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):
-    """Gene-batched closed-form association lmls, variants sharded.
-
-    ``k_rho``/``delta`` are per-gene (replicated); the genotype batch is
-    split across devices.  Returns the FastScanResult with (gene, variant)
-    leading axes.
-    """
+def build_sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta,
+                                      n: int):
+    """Compiled gene-batched sharded fast-scan ``fn(ctx_g, G, k_rho,
+    delta)`` for one (gene_tile, variant_batch) shape; reuse across
+    equally-shaped batches/tiles."""
     axis = mesh.axis_names[0]
 
     def body(ctx, G_, k_, d_):
@@ -494,4 +687,78 @@ def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):
         out_specs=out_specs,
         check_rep=False,
     )
-    return jax.jit(fn)(ctx_g, G, k_rho, delta)
+    return jax.jit(fn)
+
+
+def sharded_fast_scan_multigene(mesh: Mesh, ctx_g, G, k_rho, delta, n: int):
+    """Gene-batched closed-form association lmls, variants sharded.
+
+    ``k_rho``/``delta`` are per-gene (replicated); the genotype batch is
+    split across devices.  Returns the FastScanResult with (gene, variant)
+    leading axes.
+    """
+    return build_sharded_fast_scan_multigene(mesh, ctx_g, G, k_rho, delta,
+                                             n)(ctx_g, G, k_rho, delta)
+
+
+def build_sharded_association_refit(mesh: Mesh, ctx, G, k_rho, n: int,
+                                    delta_cfg=(-18.0, 18.0, 256, 60),
+                                    localize_f32: bool = True):
+    """Compiled sharded Newton-refit association kernel ``fn(ctx, G)``
+    (``k_rho`` closed over); variants split across devices."""
+    axis = mesh.axis_names[0]
+
+    def body(c, G_):
+        return engine.association_refit_batch(
+            c, G_, k_rho, n, delta_cfg=delta_cfg,
+            localize_f32=localize_f32)
+
+    ctx_spec = jax.tree.map(lambda _: P(), ctx)
+    out_shapes = jax.eval_shape(
+        lambda c, g: engine.association_refit_batch(
+            c, g, k_rho, n, delta_cfg=delta_cfg,
+            localize_f32=localize_f32),
+        ctx, G,
+    )
+    out_specs = jax.tree.map(
+        lambda s: P(axis, *([None] * (len(s.shape) - 1))), out_shapes)
+    return jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis)),
+        out_specs=out_specs,
+        check_rep=False,
+    ))
+
+
+def build_sharded_association_refit_multigene(
+        mesh: Mesh, ctx_g, G, n: int, delta_cfg=(-18.0, 18.0, 256, 60),
+        localize_f32: bool = True):
+    """Compiled sharded gene-batched Newton-refit kernel
+    ``fn(ctx_g, G, k_rho)``; genes replicated, variants sharded."""
+    axis = mesh.axis_names[0]
+
+    def body(c, G_, k_):
+        return engine.association_refit_multigene_batch(
+            c, G_, k_, n, delta_cfg=delta_cfg, localize_f32=localize_f32)
+
+    ctx_spec = jax.tree.map(lambda _: P(), ctx_g)
+    k_spec = P()
+    import jax.numpy as _jnp
+
+    k_dummy = _jnp.zeros((ctx_g.y.shape[0],), _jnp.int32)
+    out_shapes = jax.eval_shape(
+        lambda c, g, k_: engine.association_refit_multigene_batch(
+            c, g, k_, n, delta_cfg=delta_cfg, localize_f32=localize_f32),
+        ctx_g, G, k_dummy,
+    )
+    out_specs = jax.tree.map(
+        lambda s: P(None, axis, *([None] * (len(s.shape) - 2))),
+        out_shapes)
+    return jax.jit(shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ctx_spec, P(None, axis), k_spec),
+        out_specs=out_specs,
+        check_rep=False,
+    ))

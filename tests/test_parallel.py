@@ -117,6 +117,105 @@ def test_sharded_assoc_fast_driver_matches_local():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_assoc_refit_driver_matches_local():
+    """ShardedScanner.scan_association (Newton refit) == local driver
+    (VERDICT r4 task 3)."""
+    y, W, E, G, Ls = _dataset(seed=89, S=13)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls)
+    pv_local, info_local = crm.scan_association(G)
+    pv_shard, info_shard = ShardedScanner(
+        crm, mesh=make_mesh()).scan_association(G)
+    assert_allclose(pv_shard, pv_local, rtol=1e-9, atol=1e-12)
+    assert_allclose(info_shard["rho1"], info_local["rho1"], atol=0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_assoc_multigene_drivers_match_local():
+    """Sharded multigene association drivers (refit + fast) == local
+    (VERDICT r4 task 3: completes the ShardedScanner surface)."""
+    y, W, E, G, Ls = _dataset(seed=97, S=13)
+    rng = np.random.default_rng(11)
+    Y = y[:, None] + 0.3 * rng.normal(size=(y.shape[0], 3))
+    crm = crt.CellRegMap(y=Y[:, 0], E=E, W=W, Ls=Ls,
+                         config=crt.ScanConfig(snp_batch=8))
+    scanner = ShardedScanner(crm, mesh=make_mesh())
+
+    pv_l, info_l = crm.scan_association_multigene(Y, G, gene_batch=2)
+    pv_s, info_s = scanner.scan_association_multigene(Y, G, gene_batch=2)
+    assert pv_s.shape == pv_l.shape == (3, 13)
+    assert_allclose(pv_s, pv_l, rtol=1e-8, atol=1e-12)
+    assert_allclose(info_s["rho1"], info_l["rho1"], atol=0)
+
+    pv_lf, info_lf = crm.scan_association_fast_multigene(Y, G, gene_batch=2)
+    pv_sf, info_sf = scanner.scan_association_fast_multigene(
+        Y, G, gene_batch=2)
+    assert_allclose(pv_sf, pv_lf, rtol=1e-8, atol=1e-12)
+    assert_allclose(info_sf["rho1"], info_lf["rho1"], atol=0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_assoc_checkpoint_resume(tmp_path, monkeypatch):
+    """Crash -> resume on the sharded association scan (checkpoint wiring
+    through ShardedScanner, VERDICT r4 task 2)."""
+    from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
+    from cellregmap_tpu.parallel import scan as scan_mod
+
+    y, W, E, G, Ls = _dataset(seed=101, S=16)
+    crm = crt.CellRegMap(y=y, E=E, W=W, Ls=Ls,
+                         config=crt.ScanConfig(snp_batch=1))
+    mesh = make_mesh()
+    pv_full, _ = ShardedScanner(crm, mesh=mesh).scan_association(G)
+
+    ck = tmp_path / "ckpt"
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    orig = scan_mod.engine.association_refit_batch
+
+    def crashing(*a, **kw):
+        if calls["n"] >= 1:
+            raise Boom()
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    # patch the traced function pre-jit: the sharded builder re-traces per
+    # build, so the crash lands on the second batch's first trace... the
+    # compiled fn is cached after the first build, so crash on the DRIVER
+    # level instead: patch the builder.
+    orig_builder = scan_mod.build_sharded_association_refit
+    built = {}
+
+    def crashing_builder(*a, **kw):
+        built["fn"] = orig_builder(*a, **kw)
+
+        def fn(ctx, gb):
+            if calls["n"] >= 1:
+                raise Boom()
+            calls["n"] += 1
+            return built["fn"](ctx, gb)
+
+        return fn
+
+    monkeypatch.setattr(scan_mod, "build_sharded_association_refit",
+                        crashing_builder)
+    scanner = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
+    with pytest.raises(Boom):
+        scanner.scan_association(G)
+    monkeypatch.setattr(scan_mod, "build_sharded_association_refit",
+                        orig_builder)
+
+    state = ScanCheckpoint(str(ck)).load()
+    assert state is not None and state["cursor"] >= 1
+
+    scanner2 = ShardedScanner(crm, mesh=mesh, checkpoint=str(ck))
+    pv_resumed, _ = scanner2.scan_association(G)
+    assert_allclose(pv_resumed, pv_full, rtol=1e-12)
+    assert ScanCheckpoint(str(ck)).load() is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_fast_scan_matches_local():
     """Single-gene sharded closed-form association == the local kernel."""
     import jax.numpy as jnp
