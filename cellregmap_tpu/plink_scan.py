@@ -54,6 +54,42 @@ def resolve_donor_to_cell(reader: PlinkReader, donor_to_cell=None,
         raise ValueError(f"donor id {e} not present in {reader.prefix}.fam")
 
 
+def _decode_block(reader: PlinkReader, v0: int, v1: int, d2c,
+                  maf_min: float, standardize: bool):
+    """Decode .bim rows [v0, v1): donor genotypes -> mean-impute ->
+    MAF/variance filter -> donor->cell expand -> optional standardize.
+
+    Returns ``(Gc (n_cells, kept) or None, maf_kept, kept_idx)``.
+    """
+    Gd = reader.read(v0, v1)                      # (n_donors, B)
+    maf = np.asarray(compute_maf(Gd), float)
+    miss = np.isnan(Gd)
+    if miss.any():
+        mu = np.nanmean(np.where(miss, np.nan, Gd), axis=0)
+        Gd = np.where(miss, mu[None, :], Gd)
+    sd = Gd.std(axis=0)
+    keep = (maf >= maf_min) & (sd > 0) & np.isfinite(maf)
+    kept_idx = v0 + np.flatnonzero(keep)
+    if not keep.any():
+        return None, maf[keep], kept_idx
+    Gc = Gd[d2c][:, keep]                         # cells x kept
+    if standardize:
+        Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+    return Gc, maf[keep], kept_idx
+
+
+def _blocks_iter(start_block, n_blocks, progress, desc):
+    it = range(start_block, n_blocks)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(it, desc=desc, unit="block")
+        except ImportError:
+            pass
+    return it
+
+
 def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
                            donor_to_cell=None, donor_ids=None,
                            block_size: int = 2048, maf_min: float = 0.0,
@@ -78,7 +114,8 @@ def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
         raise ValueError("donor map length != model's n_cells")
 
     n_blocks = -(-reader.n_variants // block_size)
-    meta = {"prefix": str(prefix), "n_variants": reader.n_variants,
+    meta = {"scan": "interaction", "prefix": str(prefix),
+            "n_variants": reader.n_variants,
             "block_size": block_size, "maf_min": maf_min}
 
     ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
@@ -96,35 +133,15 @@ def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
         acc[name] = (np.concatenate([acc[name], arr])
                      if name in acc else arr)
 
-    blocks = range(start_block, n_blocks)
-    if progress:
-        try:
-            from tqdm import tqdm
-
-            blocks = tqdm(blocks, desc="scan_plink", unit="block")
-        except ImportError:
-            pass
-
-    for b in blocks:
+    for b in _blocks_iter(start_block, n_blocks, progress, "scan_plink"):
         v0 = b * block_size
         v1 = min(v0 + block_size, reader.n_variants)
-        Gd = reader.read(v0, v1)                      # (n_donors, B)
-        maf = np.asarray(compute_maf(Gd), float)
-        # mean-impute missing donor calls
-        miss = np.isnan(Gd)
-        if miss.any():
-            mu = np.nanmean(np.where(miss, np.nan, Gd), axis=0)
-            Gd = np.where(miss, mu[None, :], Gd)
-        sd = Gd.std(axis=0)
-        keep = (maf >= maf_min) & (sd > 0) & np.isfinite(maf)
-        kept_idx = v0 + np.flatnonzero(keep)
-        if keep.any():
-            Gc = Gd[d2c][:, keep]                     # cells x kept
-            if standardize:
-                Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+        Gc, maf_kept, kept_idx = _decode_block(reader, v0, v1, d2c,
+                                               maf_min, standardize)
+        if Gc is not None:
             pv, info = crm.scan_interaction(Gc)
             _append("pvalues", pv)
-            _append("maf", maf[keep])
+            _append("maf", maf_kept)
             for k in ("rho1", "e2", "g2", "eps2", "Q"):
                 _append(k, info[k])
         _append("variant_index", kept_idx)
@@ -138,6 +155,139 @@ def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
     info = {k: acc[k] for k in ("rho1", "e2", "g2", "eps2", "Q", "maf")
             if k in acc}
     return pv, info, vidx
+
+
+def scan_association_plink(crm: CellRegMap, prefix: str, *,
+                           donor_to_cell=None, donor_ids=None,
+                           fast: bool = True, block_size: int = 2048,
+                           maf_min: float = 0.0, standardize: bool = True,
+                           checkpoint: Optional[str] = None,
+                           progress: bool = False):
+    """Checkpointed streaming association (LRT) scan over a PLINK fileset.
+
+    ``fast=True`` runs the closed-form fast scanner per block (reference
+    pattern _cellregmap.py:284-314), ``fast=False`` the per-variant Newton
+    ML refits (:246-281).  The covariate-only null fits once, outside the
+    block loop.  Completed blocks are durable; a rerun with the same
+    fileset resumes after the last checkpointed block (the reference has
+    no genotype IO at all — VERDICT r4 task 7 completes ours).
+
+    Returns ``(pvalues, info, variant_index)`` like
+    :func:`scan_interaction_plink`.
+    """
+    reader = PlinkReader(prefix)
+    d2c = resolve_donor_to_cell(reader, donor_to_cell, donor_ids)
+    if d2c.shape[0] != crm.n_samples:
+        raise ValueError("donor map length != model's n_cells")
+    crm._fit_null_association()   # once, before the block loop
+
+    n_blocks = -(-reader.n_variants // block_size)
+    meta = {"scan": "association_fast" if fast else "association",
+            "prefix": str(prefix), "n_variants": reader.n_variants,
+            "block_size": block_size, "maf_min": maf_min}
+
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
+    start_block = 0
+    acc: dict = {}
+    if ckpt is not None:
+        state = ckpt.load()
+        if state is not None and all(
+                state["meta"].get(k) == v for k, v in meta.items()):
+            start_block = state["cursor"]
+            acc = dict(state["results"])
+
+    def _append(name, arr):
+        arr = np.asarray(arr)
+        acc[name] = (np.concatenate([acc[name], arr])
+                     if name in acc else arr)
+
+    scan = (crm.scan_association_fast if fast else crm.scan_association)
+    for b in _blocks_iter(start_block, n_blocks, progress, "assoc_plink"):
+        v0 = b * block_size
+        v1 = min(v0 + block_size, reader.n_variants)
+        Gc, maf_kept, kept_idx = _decode_block(reader, v0, v1, d2c,
+                                               maf_min, standardize)
+        if Gc is not None:
+            pv, _ = scan(Gc)
+            _append("pvalues", pv)
+            _append("maf", maf_kept)
+        _append("variant_index", kept_idx)
+        if ckpt is not None:
+            ckpt.save(b + 1, acc, meta)
+
+    if ckpt is not None:
+        ckpt.clear()
+    pv = acc.get("pvalues", np.zeros(0))
+    vidx = acc.get("variant_index", np.zeros(0, int))
+    fits, k = crm._fit_null_association()
+    info = crm._assoc_info(fits, k)
+    info["maf"] = acc.get("maf", np.zeros(0))
+    return pv, info, vidx
+
+
+def estimate_betas_plink(crm: CellRegMap, prefix: str, *,
+                         donor_to_cell=None, donor_ids=None,
+                         block_size: int = 2048, maf_min: float = 0.0,
+                         standardize: bool = False,
+                         checkpoint: Optional[str] = None,
+                         progress: bool = False):
+    """Checkpointed streaming effect-size estimation over a PLINK fileset.
+
+    Per block: decode + impute + filter (``standardize`` defaults to False
+    — the reference's ``estimate_betas`` consumes raw 0/1/2 genotypes and
+    normalizes by 1/sqrt(2 p (1-p)) itself, _cellregmap.py:640-682), then
+    ``crm.predict_interaction`` with the block's donor-level MAF.  Durable
+    per-block checkpoints.
+
+    Returns ``(beta_g (V,), beta_gxe (n_cells, V), maf, variant_index)``.
+    """
+    reader = PlinkReader(prefix)
+    d2c = resolve_donor_to_cell(reader, donor_to_cell, donor_ids)
+    if d2c.shape[0] != crm.n_samples:
+        raise ValueError("donor map length != model's n_cells")
+    crm._betas_context()          # one-time background factorization
+
+    n_blocks = -(-reader.n_variants // block_size)
+    meta = {"scan": "betas", "prefix": str(prefix),
+            "n_variants": reader.n_variants, "block_size": block_size,
+            "maf_min": maf_min}
+
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
+    start_block = 0
+    acc: dict = {}
+    if ckpt is not None:
+        state = ckpt.load()
+        if state is not None and all(
+                state["meta"].get(k) == v for k, v in meta.items()):
+            start_block = state["cursor"]
+            acc = dict(state["results"])
+
+    def _append(name, arr, axis=0):
+        arr = np.asarray(arr)
+        acc[name] = (np.concatenate([acc[name], arr], axis=axis)
+                     if name in acc else arr)
+
+    for b in _blocks_iter(start_block, n_blocks, progress, "betas_plink"):
+        v0 = b * block_size
+        v1 = min(v0 + block_size, reader.n_variants)
+        Gc, maf_kept, kept_idx = _decode_block(reader, v0, v1, d2c,
+                                               maf_min, standardize)
+        if Gc is not None:
+            bg, bgxe = crm.predict_interaction(Gc, maf_kept)
+            _append("beta_g", bg)
+            _append("beta_gxe", bgxe, axis=1)
+            _append("maf", maf_kept)
+        _append("variant_index", kept_idx)
+        if ckpt is not None:
+            ckpt.save(b + 1, acc, meta)
+
+    if ckpt is not None:
+        ckpt.clear()
+    n = crm.n_samples
+    return (acc.get("beta_g", np.zeros(0)),
+            acc.get("beta_gxe", np.zeros((n, 0))),
+            acc.get("maf", np.zeros(0)),
+            acc.get("variant_index", np.zeros(0, int)))
 
 
 def scan_interaction_multigene_plink(crm: CellRegMap, prefix: str, Y,
@@ -277,6 +427,11 @@ def main(argv=None):
     ap.add_argument("--pvalue-method", default=None)
     ap.add_argument("--gene-batch", type=int, default=16,
                     help="gene tile size for multigene (Y + windows) scans")
+    ap.add_argument("--mode", default="interaction",
+                    choices=("interaction", "association",
+                             "association-fast", "betas"),
+                    help="scan type (multigene Y+windows data implies the "
+                         "gene-batched interaction scan)")
     args = ap.parse_args(argv)
 
     with np.load(args.data, allow_pickle=False) as z:
@@ -310,13 +465,28 @@ def main(argv=None):
                           "n_genes": int(d["Y"].shape[1]),
                           "out": args.out}))
         return 0
-    pv, info, vidx = scan_interaction_plink(
-        crm, args.bed,
-        donor_to_cell=d.get("donor_to_cell"),
-        donor_ids=d.get("donor_ids"),
-        block_size=args.block_size, maf_min=args.maf_min,
-        checkpoint=args.checkpoint, progress=True,
-    )
+    common = dict(donor_to_cell=d.get("donor_to_cell"),
+                  donor_ids=d.get("donor_ids"),
+                  block_size=args.block_size, maf_min=args.maf_min,
+                  checkpoint=args.checkpoint, progress=True)
+    if args.mode == "betas":
+        bg, bgxe, maf, vidx = estimate_betas_plink(crm, args.bed, **common)
+        np.savez(args.out, beta_g=bg, beta_gxe=bgxe, maf=maf,
+                 variant_index=vidx)
+        print(json.dumps({"n_tested": int(bg.shape[0]),
+                          "n_variants": int(vidx.shape[0]),
+                          "out": args.out}))
+        return 0
+    if args.mode in ("association", "association-fast"):
+        pv, info, vidx = scan_association_plink(
+            crm, args.bed, fast=(args.mode == "association-fast"), **common)
+        np.savez(args.out, pvalues=pv, variant_index=vidx,
+                 maf=info["maf"])
+        print(json.dumps({"n_tested": int(pv.shape[0]),
+                          "n_variants": int(vidx.shape[0]),
+                          "out": args.out}))
+        return 0
+    pv, info, vidx = scan_interaction_plink(crm, args.bed, **common)
     np.savez(args.out, pvalues=pv, variant_index=vidx, **info)
     print(json.dumps({"n_tested": int(pv.shape[0]),
                       "n_variants": int(vidx.shape[0]),

@@ -228,6 +228,151 @@ def test_streaming_scan_crash_resume(cohort, tmp_path):
     assert np.array_equal(vidx, vidx_full)
 
 
+def _expected_filter(cohort, maf_min=0.01):
+    Gd = cohort["Gd"]
+    frq = np.nansum(Gd, axis=0) / (2 * np.sum(~np.isnan(Gd), axis=0))
+    maf = np.minimum(frq, 1 - frq)
+    mu = np.nanmean(Gd, axis=0)
+    Gdi = np.where(np.isnan(Gd), mu[None, :], Gd)
+    keep = (maf >= maf_min) & (Gdi.std(0) > 0) & np.isfinite(maf)
+    return Gdi, keep
+
+
+def test_streaming_association_matches_direct(cohort):
+    """Streaming fast + slow association over .bed == direct in-memory
+    scans on the same decoded/filtered genotypes (VERDICT r4 task 7)."""
+    from cellregmap_tpu.plink_scan import scan_association_plink
+
+    crm = _make_crm(cohort)
+    dids = np.asarray(cohort["donor_ids"])[cohort["d2c"]]
+    pv, info, vidx = scan_association_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=4096,
+        maf_min=0.01, fast=True)
+    Gdi, keep = _expected_filter(cohort)
+    assert np.array_equal(vidx, np.flatnonzero(keep))
+    assert pv.shape == vidx.shape
+    head = vidx[vidx < 64]
+    Gc = Gdi[cohort["d2c"]][:, head]
+    Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+    pv_direct, _ = crm.scan_association_fast(Gc)
+    assert_allclose(pv[: head.size], pv_direct, atol=1e-12)
+
+    # slow (Newton refit) mode on a small subset
+    pv_s, _, vidx_s = scan_association_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=4096,
+        maf_min=0.01, fast=False)
+    pv_sd, _ = crm.scan_association(Gc)
+    assert_allclose(pv_s[: head.size], pv_sd, atol=1e-12)
+
+
+def test_streaming_association_crash_resume(cohort, tmp_path):
+    from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
+    from cellregmap_tpu.plink_scan import scan_association_plink
+
+    crm = _make_crm(cohort)
+    ck = str(tmp_path / "cka")
+    full = scan_association_plink(crm, cohort["prefix"],
+                                  donor_to_cell=cohort["d2c"],
+                                  block_size=2048)
+    calls = []
+    real = crm.scan_association_fast
+
+    def wrapped(G, **kw):
+        calls.append(G.shape[1])
+        if len(calls) == 3:
+            raise RuntimeError("simulated crash")
+        return real(G, **kw)
+
+    crm.scan_association_fast = wrapped
+    with pytest.raises(RuntimeError):
+        scan_association_plink(crm, cohort["prefix"],
+                               donor_to_cell=cohort["d2c"],
+                               block_size=2048, checkpoint=ck)
+    crm.scan_association_fast = real
+    state = ScanCheckpoint(ck).load()
+    assert state is not None and state["cursor"] == 2
+    pv, _, vidx = scan_association_plink(
+        crm, cohort["prefix"], donor_to_cell=cohort["d2c"],
+        block_size=2048, checkpoint=ck)
+    assert_allclose(pv, full[0], atol=1e-12)
+    assert np.array_equal(vidx, full[2])
+    assert ScanCheckpoint(ck).load() is None
+
+
+def test_streaming_betas_matches_direct(cohort, tmp_path):
+    from cellregmap_tpu.parallel.checkpoint import ScanCheckpoint
+    from cellregmap_tpu.plink_scan import estimate_betas_plink
+
+    crm = _make_crm(cohort)
+    dids = np.asarray(cohort["donor_ids"])[cohort["d2c"]]
+    bg, bgxe, maf, vidx = estimate_betas_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=4096,
+        maf_min=0.01)
+    Gdi, keep = _expected_filter(cohort)
+    assert np.array_equal(vidx, np.flatnonzero(keep))
+    assert bg.shape == vidx.shape
+    assert bgxe.shape == (cohort["n_cells"], vidx.shape[0])
+    head = vidx[vidx < 64]
+    Gc = Gdi[cohort["d2c"]][:, head]   # RAW genotypes (standardize=False)
+    bg_d, bgxe_d = crm.predict_interaction(Gc, maf[: head.size])
+    assert_allclose(bg[: head.size], bg_d, atol=1e-12)
+    assert_allclose(bgxe[:, : head.size], bgxe_d, atol=1e-12)
+
+    # crash -> resume
+    ck = str(tmp_path / "ckb")
+    calls = []
+    real = crm.predict_interaction
+
+    def wrapped(G, m, **kw):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated crash")
+        return real(G, m, **kw)
+
+    crm.predict_interaction = wrapped
+    with pytest.raises(RuntimeError):
+        estimate_betas_plink(crm, cohort["prefix"], donor_ids=dids,
+                             block_size=2048, maf_min=0.01, checkpoint=ck)
+    crm.predict_interaction = real
+    assert ScanCheckpoint(ck).load() is not None
+    bg_r, bgxe_r, maf_r, vidx_r = estimate_betas_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=2048,
+        maf_min=0.01, checkpoint=ck)
+    bg_f, bgxe_f, _, vidx_f = estimate_betas_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=2048,
+        maf_min=0.01)
+    assert_allclose(bg_r, bg_f, atol=1e-12)
+    assert_allclose(bgxe_r, bgxe_f, atol=1e-12)
+    assert np.array_equal(vidx_r, vidx_f)
+
+
+def test_plink_scan_cli_modes(cohort, tmp_path):
+    """--mode association-fast and --mode betas produce sane outputs."""
+    from cellregmap_tpu.plink_scan import main
+
+    data = str(tmp_path / "data.npz")
+    np.savez(data, y=cohort["y"], E=cohort["E"], hK=cohort["hK"],
+             donor_to_cell=cohort["d2c"])
+    out_a = str(tmp_path / "res_assoc.npz")
+    rc = main(["--bed", cohort["prefix"], "--data", data, "--out", out_a,
+               "--block-size", "4096", "--maf-min", "0.01",
+               "--mode", "association-fast"])
+    assert rc == 0
+    with np.load(out_a) as z:
+        assert z["pvalues"].shape[0] > 10_000
+        assert np.all((z["pvalues"] > 0) & (z["pvalues"] <= 1))
+
+    out_b = str(tmp_path / "res_betas.npz")
+    rc = main(["--bed", cohort["prefix"], "--data", data, "--out", out_b,
+               "--block-size", "4096", "--maf-min", "0.3",
+               "--mode", "betas"])
+    assert rc == 0
+    with np.load(out_b) as z:
+        assert z["beta_g"].shape == z["variant_index"].shape
+        assert z["beta_gxe"].shape[0] == cohort["n_cells"]
+        assert np.isfinite(z["beta_g"]).all()
+
+
 def test_plink_scan_cli(cohort, tmp_path):
     from cellregmap_tpu.plink_scan import main
 
