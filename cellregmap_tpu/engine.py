@@ -354,6 +354,30 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     Cgy = gy - ZG.T @ ctx.Zy                           # (S,)
     Cgg = gg - jnp.sum(ZG * ZG, axis=0)                # (S,)
 
+    # Complement conditioning: when the basis rank approaches n (wide
+    # factor stacks, e.g. C=20 x 125 donors at n=2048), the true
+    # complements are ~0 and the subtractions above return pure
+    # cancellation noise at eps(ctx dtype) * magnitude — which the 1/delta
+    # weights amplify by up to e^18 into spurious lml maxima at the low
+    # bracket edge (measured: 54% of f32-screen variants collapse to
+    # delta=sigmoid(-18) with 1000x-inflated Q).  The complement Gram of
+    # [W, g, y] is PSD in exact arithmetic, so (a) clamp its diagonal to
+    # the noise floor and (b) Cauchy-Schwarz-clip the cross terms against
+    # the clamped diagonal — exact values are never altered beyond their
+    # own noise level, in f64 as in f32.
+    eps_c = 128 * jnp.finfo(ctx.y.dtype).eps
+    dWW = jnp.diagonal(ctx.WW)
+    dCWW = jnp.maximum(jnp.diagonal(CWW), eps_c * dWW)          # (p,)
+    CWW = CWW - jnp.diag(jnp.diagonal(CWW)) + jnp.diag(dCWW)
+    Cyy = jnp.maximum(Cyy, eps_c * ctx.yy)
+    Cgg = jnp.maximum(Cgg, eps_c * gg)
+    cwy_b = jnp.sqrt(dCWW * Cyy)                                # (p,)
+    CWy = jnp.clip(CWy, -cwy_b, cwy_b)
+    cwg_b = jnp.sqrt(dCWW[:, None] * Cgg[None, :])              # (p, S)
+    CWg = jnp.clip(CWg, -cwg_b, cwg_b)
+    cgy_b = jnp.sqrt(Cgg * Cyy)                                 # (S,)
+    Cgy = jnp.clip(Cgy, -cgy_b, cgy_b)
+
     # --- normal-equation component tensors, per precision -----------------
     # Hybrid precision: TPU f64 is software-emulated (elementwise ~6x
     # slower than f32, matmul ~4x), but only the *final* refinement and the
@@ -372,6 +396,14 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     nu = n - p1
     f64 = ctx.y.dtype
     fast = jnp.float32 if (f64 == jnp.float64 and localize_f32) else f64
+    # Statistics dtype for stages 2-3 (the per-variant lml/Newton/score
+    # math): ALWAYS f64, even when the whole context is f32 (the screen
+    # kernel).  The small-dimension REML normal equations cancel
+    # catastrophically in f32 at C >= 20 (measured: 98% NaN Q at C=20,
+    # R=1300) — while the HEAVY tensors (contractions, rotations, score
+    # factors) stay in the context dtype and the f64 work is only the
+    # per-variant reductions, so the f32 screen keeps its MXU throughput.
+    sd = jnp.float64
 
     from .ops.linalg import (unrolled_chol_factor, unrolled_chol_logdet,
                              unrolled_chol_solve, unrolled_chol_solve_logdet,
@@ -458,9 +490,14 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     rss_grid = yy_grid
     for j in range(p1):
         rss_grid = rss_grid - b_comp[j] * beta_c[j]
-    # grid points whose residual collapsed below the f32 floor are numerical
-    # garbage; exclude them from the argmax (ADVICE.md round 1)
-    rss_collapsed = rss_grid <= 8 * jnp.finfo(fast).tiny
+    # rss = q - sum(b beta) is a difference of positives whose inputs carry
+    # ~eps(fast) relative error: below ~eps * q the value is cancellation
+    # NOISE, not a residual.  At tiny delta the q terms blow up as 1/delta
+    # and the noise forms a spurious lml maximum at the low bracket edge
+    # (measured: delta -> sigmoid(-18), Q inflated 1000x, in the f32 screen
+    # kernel at C=20).  Exclude noise-floor points from the argmax — a
+    # relative guard, not the absolute-tiny one (ADVICE.md round 1).
+    rss_collapsed = rss_grid <= 128 * jnp.finfo(fast).eps * yy_grid
     rss_grid = jnp.maximum(rss_grid, jnp.finfo(fast).tiny)
 
     # logdet(X^T X) is delta-independent: compute once per variant (f64;
@@ -485,9 +522,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # f64 stages degrade to a plain search instead of pinning the low edge
     row_bad = jnp.all(~jnp.isfinite(lml_grid), axis=-1)  # (S, nrho)
     k_grid = jnp.argmax(lml_grid, axis=-1)              # (S, nrho)
-    logit_grid = jnp.linspace(lo, hi, n_grid)
-    br_lo = jnp.where(row_bad, lo, logit_grid[jnp.maximum(k_grid - 1, 0)])
-    br_hi = jnp.where(row_bad, hi,
+    # bracket/delta state in the CONTEXT dtype: a stray f64 linspace here
+    # would promote the stage-2/3 weight reductions to emulated f64 even
+    # when the whole kernel runs f32 (the screen path)
+    logit_grid = jnp.linspace(lo, hi, n_grid).astype(f64)
+    br_lo = jnp.where(row_bad, jnp.asarray(lo, f64),
+                      logit_grid[jnp.maximum(k_grid - 1, 0)])
+    br_hi = jnp.where(row_bad, jnp.asarray(hi, f64),
                       logit_grid[jnp.minimum(k_grid + 1, n_grid - 1)])
 
     if profile_stage == "grid":  # debug: timing bisection
@@ -498,7 +539,10 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         """(dL/d delta, d2L/d delta2) of the restricted profiled objective
         (the math of models/lmm.reml_delta_derivatives, in component form;
         validated against it in tests/test_lmm.py)."""
-        dt = TS["S"].dtype
+        # compute in the WIDER of (tensor, state) dtypes: stage 1b runs
+        # f32 x f32, stage 3 runs f32-tensor x f64-state in f64 (the f32
+        # screen context must not downcast the statistics stage, see sd)
+        dt = jnp.result_type(TS["S"].dtype, delta.dtype)
         delta = delta.astype(dt)
         dx = delta[..., None]
         d = (1 - dx) * _bcast(TS["S"], delta) + dx
@@ -562,11 +606,11 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         return t[None] if (t.ndim == 2 and delta.ndim == 2) else t
 
     def _newton_step(st, TS, rs, ro):
-        x, lo_b, hi_b = st                              # f64 logits
+        x, lo_b, hi_b = st            # logits in the stage's state dtype
         delta = jax.nn.sigmoid(x)
         Lp, Lpp = _derivs(delta, TS, rs, ro)
-        Lp = Lp.astype(f64)
-        Lpp = Lpp.astype(f64)
+        Lp = Lp.astype(x.dtype)
+        Lpp = Lpp.astype(x.dtype)
         g_sig = delta * (1 - delta)
         Lx_p = Lp * g_sig
         Lx_pp = Lpp * g_sig * g_sig + Lp * g_sig * (1 - 2 * delta)
@@ -590,6 +634,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         0, newton_f32,
         lambda _, s: _newton_step(s, TS32, reduce_os, reduce_oo), st)
     x32, br32_lo, br32_hi = st
+    # stage 2+ state in the statistics dtype (see sd above)
+    x32 = x32.astype(sd)
     delta32 = jax.nn.sigmoid(x32)                       # (S, nrho)
 
     if profile_stage == "zoom":  # debug: timing bisection
@@ -604,7 +650,10 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     L1s = unrolled_chol_factor(A1s)
     beta_s = unrolled_chol_solve(L1s, b1s)
     rss_s = q1s - sum(b1s[j] * beta_s[j] for j in range(p1))
-    rss_s = jnp.maximum(rss_s, jnp.finfo(f64).tiny)
+    # the TENSORS carry eps(f64-var = ctx dtype) relative error even though
+    # the weights are f64; below that floor the rss is noise (see stage 1)
+    rss_bad = rss_s <= 128 * jnp.finfo(f64).eps * q1s
+    rss_s = jnp.maximum(rss_s, jnp.finfo(sd).tiny)
     logdet_d_s = jnp.sum(jnp.log(d_star), axis=-1) \
         + (n - R) * jnp.log(delta32)
     lml_all = -0.5 * (
@@ -612,7 +661,13 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         + unrolled_chol_logdet(L1s)
         - ld_xx[:, None] + nu
     )                                                   # (S, nrho)
+    # noise-floor or NaN evaluations must not win the rho argmax
+    lml_all = jnp.where(rss_bad | ~jnp.isfinite(lml_all), -jnp.inf,
+                        lml_all)
     k_best = jnp.argmax(lml_all, axis=-1)               # (S,)
+    if profile_stage == "stage2":  # debug: inspect the rho-selection stage
+        return {"lml_all": lml_all, "delta32": delta32, "rss_s": rss_s,
+                "q1s": q1s, "rss_bad": rss_bad, "k_best": k_best}
 
     # --- stage 3: f64 Newton at each variant's best rho only --------------
     O_k = jax.nn.one_hot(k_best, ctx.S.shape[0], dtype=f64)     # (S, nrho)
@@ -650,7 +705,8 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     # shrunk one: near the optimum the f32 derivative signs are noise, and
     # a noise-shrunk bracket can exclude the true optimum, clamping the
     # f64 iterations ~1e-6 away from it
-    st_k = (take_k(x32), take_k(br_lo), take_k(br_hi))
+    st_k = (take_k(x32), take_k(br_lo).astype(sd),
+            take_k(br_hi).astype(sd))
     st_k = jax.lax.fori_loop(
         0, newton_f64,
         lambda _, s: _newton_step(s, TS_k, reduce_ko, reduce_ko), st_k)
@@ -663,7 +719,10 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
     L1k = unrolled_chol_factor(A1k)
     beta_k = unrolled_chol_solve(L1k, b1k)
     rss_k = q1k - sum(b1k[j] * beta_k[j] for j in range(p1))
-    rss_k = jnp.maximum(rss_k, jnp.finfo(f64).tiny)
+    # clamp to the tensors' cancellation noise floor (see stage 1): keeps a
+    # near-degenerate variant's scale finite instead of exploding Q
+    rss_k = jnp.maximum(rss_k, 128 * jnp.finfo(f64).eps * q1k)
+    rss_k = jnp.maximum(rss_k, jnp.finfo(sd).tiny)
     lml_k = -0.5 * (
         nu * jnp.log(2 * jnp.pi * rss_k / nu)
         + jnp.sum(jnp.log(d_k), axis=-1) + (n - R) * jnp.log(delta_k)
