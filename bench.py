@@ -600,16 +600,20 @@ def main():
     # kill safe (a kill loses only the in-flight config's row).
     _try("betas_2k", _betas2k, est_s=25)
     _try("assoc_fast_2k", _assoc_fast, est_s=15)
-    _try("screen_2k", _screen2k, est_s=30)
+    # screen rows carry a ~100 s cold f32-kernel compile on the wiped
+    # driver cache (measured round 5); the scans themselves are ~3 s
+    _try("screen_2k", _screen2k, est_s=110)
     _try("cells10k_pairs5k", _cells10k, est_s=125)
     _try("contexts50", _c50, est_s=60)
     _try("cells50k_pairs100k", _cells50k, est_s=75)
     _try("multigene_16", _multigene, est_s=40)
     _try("multigene_cis_128",
          lambda: _multigene(nsn_target=128, compare_loop=False), est_s=10)
-    _try("screen_multigene_16", _screen_multigene, est_s=45)
     _try("assoc_multigene_16", _assoc_multigene, est_s=20)
     _try("betas_100k_stretch", _betas100k, est_s=105)
+    # last: its fresh gene-batched f32 compile (~2 min) must not displace
+    # the north-star rows; SCREEN_CALIB.json carries the offline record
+    _try("screen_multigene_16", _screen_multigene, est_s=130)
 
     result["total_bench_s"] = round(time.perf_counter() - T_PROCESS_START, 1)
     emit(result)

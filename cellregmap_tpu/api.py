@@ -400,7 +400,9 @@ class CellRegMap:
             self._cfg, pvalue_method="davies"))
 
     def scan_interaction_screen(self, G, significance: float = 5e-8,
-                                screen_margin: float = 100.0):
+                                screen_margin: float = 100.0,
+                                checkpoint=None,
+                                checkpoint_every: int = 1):
         """Two-pass interaction scan: f32 screen of every pair, exact
         f64 + Davies re-test of candidate hits.
 
@@ -445,13 +447,20 @@ class CellRegMap:
 
         def _launch(start):
             gb = jnp.asarray(Gp[:, start : start + batch], jnp.float32)
-            return engine.interaction_kernel(
+            out = engine.interaction_kernel(
                 ctx32, gb, gb, self._n, delta_cfg=delta_cfg,
                 device_pvalues=True)
+            return {k: out[k] for k in ("pv_saddlepoint", "pv_liu", "Q",
+                                        "rho1", "e2", "g2", "eps2")}
 
-        outs = _pipelined(range(0, Gp.shape[1], batch), _launch)
-        scr = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n_snps]
-               for k in outs[0]}
+        ck_meta = {"scan": "interaction_screen", "n_snps": n_snps,
+                   "batch": batch,
+                   "inputs_sha": (_content_sha(self._y, G)
+                                  if checkpoint else None)}
+        scr = _run_checkpointed(
+            range(0, Gp.shape[1], batch), _launch, checkpoint, ck_meta,
+            checkpoint_every, progress=cfg.progress, desc="screen")
+        scr = {k: v[:n_snps] for k, v in scr.items()}
         sp = np.asarray(scr["pv_saddlepoint"], float)
         liu = np.asarray(scr["pv_liu"], float)
         screen_pv = np.where(np.isfinite(sp), sp, liu)
@@ -471,7 +480,13 @@ class CellRegMap:
             if pad:
                 Gh = np.concatenate(
                     [Gh, np.repeat(Gh[:, :1], pad, axis=1)], axis=1)
-            pv_c, info_c = self._confirm_scanner().scan_interaction(Gh)
+            import os as _os
+
+            pv_c, info_c = self._confirm_scanner().scan_interaction(
+                Gh,
+                checkpoint=(_os.path.join(str(checkpoint), "confirm")
+                            if checkpoint else None),
+                checkpoint_every=checkpoint_every)
             pvalues[idx] = pv_c[: idx.size]
             for k in info:
                 info[k][idx] = np.asarray(info_c[k], float)[: idx.size]

@@ -759,7 +759,14 @@ def interaction_batch(ctx: NullContext, G, G_score, n: int,
         if device_pvalues:
             from .ops.linalg import safe_eigh
 
-            lam = jnp.maximum(safe_eigh(Wmat)[0], 0.0)
+            # eigh in the CONTEXT dtype: the statistics stages promote
+            # Wmat to f64 (see sd), but a batched f64 QDWH eigh is the
+            # single most expensive device op on TPU; the f32 screen only
+            # needs ~1e-6-relative mixture weights.  The result is cast
+            # back to the statistics dtype for the tail evaluations.
+            lam = jnp.maximum(
+                safe_eigh(Wmat.astype(ctx.y.dtype))[0], 0.0
+            ).astype(Wmat.dtype)
         else:
             # exact path computes eigenvalues on host (LAPACK) from Wmat;
             # skip the costly batched device eigh

@@ -64,6 +64,15 @@ CASES = {
             G, np.full(G.shape[1], 0.3), checkpoint=ck),
         2, 4, 4,
     ),
+    # screen: batch = 2*snp_batch -> 2 screen batches over 12 snps;
+    # significance=1e-300 keeps the confirm set empty so the counted
+    # interaction_kernel calls are exactly the screen batches
+    "screen": (
+        "interaction_kernel",
+        lambda crm, Y, G, ck: crm.scan_interaction_screen(
+            G, significance=1e-300, checkpoint=ck),
+        1, 2, 2,
+    ),
 }
 
 
