@@ -443,6 +443,21 @@ def main():
         m["n_cells"], m["R"] = sc(50_000), int(cc._ctx.S.shape[1])
         m["extrapolated_100k_pairs_hours"] = round(
             100_000 / m["tests_per_sec"] / 3600, 3)
+        # the FULL 100k-pair run was measured once (round 5,
+        # scripts/measure_50k.py -> MEASURED_50K.json, streamed in 4096-
+        # variant blocks); attach the measured record when present so the
+        # flagship row is a measurement, not an extrapolation
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "MEASURED_50K.json")) as f:
+                m50 = json.load(f)
+            if "exact" in m50:
+                m["measured_100k_pairs_hours"] = \
+                    m50["exact"]["measured_wall_hours"]
+                m["measured_100k_scan_only_tests_per_sec"] = \
+                    m50["exact"]["tests_per_sec_scan_only"]
+        except (OSError, KeyError, ValueError):
+            pass
         return m
 
     def _betas2k():

@@ -473,8 +473,12 @@ class CellRegMap:
                 for k in ("rho1", "e2", "g2", "eps2", "Q")}
         if idx.size:
             # pad the hit set to one canonical confirm width so every
-            # screen run shares a single compiled f64 program
-            cb = min(cfg.snp_batch, self._auto_batch_cap())
+            # screen run shares a single compiled f64 program; 64 wide —
+            # hit sets are small by design, and padding a handful of hits
+            # to a full snp_batch made the confirm pass cost ~8x the whole
+            # screen (measured at C=20: 3 underflow pairs -> a 512-wide
+            # f64 batch)
+            cb = min(64, cfg.snp_batch, self._auto_batch_cap())
             Gh = G[:, idx]
             pad = (-Gh.shape[1]) % cb
             if pad:
@@ -565,7 +569,7 @@ class CellRegMap:
                 for k in ("rho1", "e2", "g2", "eps2", "Q")}
 
         confirm = self._confirm_scanner()
-        cb = min(cfg.snp_batch, self._auto_batch_cap())
+        cb = min(64, cfg.snp_batch, self._auto_batch_cap())
         for g in range(n_genes):
             idx = np.flatnonzero(hits[g])
             if not idx.size:
