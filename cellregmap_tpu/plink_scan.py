@@ -157,6 +157,79 @@ def scan_interaction_plink(crm: CellRegMap, prefix: str, *,
     return pv, info, vidx
 
 
+def scan_interaction_screen_plink(crm: CellRegMap, prefix: str, *,
+                                  donor_to_cell=None, donor_ids=None,
+                                  significance: float = 5e-8,
+                                  screen_margin: float = 100.0,
+                                  block_size: int = 2048,
+                                  maf_min: float = 0.0,
+                                  standardize: bool = True,
+                                  checkpoint: Optional[str] = None,
+                                  progress: bool = False):
+    """Genome-scale two-pass screen -> confirm scan over a PLINK fileset.
+
+    Per block the f32 screen kernel tests every variant at the MXU rate
+    and the f64 + Davies confirm pass re-tests candidate hits exactly
+    (see :meth:`CellRegMap.scan_interaction_screen` for the precision
+    contract).  Completed blocks are durable; a rerun resumes at the
+    block cursor.
+
+    Returns ``(pvalues, info, variant_index)`` where ``info`` carries
+    ``confirmed`` / ``screen_pv`` per kept variant.
+    """
+    reader = PlinkReader(prefix)
+    d2c = resolve_donor_to_cell(reader, donor_to_cell, donor_ids)
+    if d2c.shape[0] != crm.n_samples:
+        raise ValueError("donor map length != model's n_cells")
+
+    n_blocks = -(-reader.n_variants // block_size)
+    meta = {"scan": "interaction_screen", "prefix": str(prefix),
+            "n_variants": reader.n_variants, "block_size": block_size,
+            "maf_min": maf_min, "significance": significance,
+            "screen_margin": screen_margin}
+
+    ckpt = ScanCheckpoint(checkpoint) if checkpoint is not None else None
+    start_block = 0
+    acc: dict = {}
+    if ckpt is not None:
+        state = ckpt.load()
+        if state is not None and all(
+                state["meta"].get(k) == v for k, v in meta.items()):
+            start_block = state["cursor"]
+            acc = dict(state["results"])
+
+    def _append(name, arr):
+        arr = np.asarray(arr)
+        acc[name] = (np.concatenate([acc[name], arr])
+                     if name in acc else arr)
+
+    for b in _blocks_iter(start_block, n_blocks, progress, "screen_plink"):
+        v0 = b * block_size
+        v1 = min(v0 + block_size, reader.n_variants)
+        Gc, maf_kept, kept_idx = _decode_block(reader, v0, v1, d2c,
+                                               maf_min, standardize)
+        if Gc is not None:
+            pv, info = crm.scan_interaction_screen(
+                Gc, significance=significance, screen_margin=screen_margin)
+            _append("pvalues", pv)
+            _append("maf", maf_kept)
+            _append("confirmed", info["confirmed"])
+            _append("screen_pv", info["screen_pv"])
+            for k in ("rho1", "e2", "g2", "eps2", "Q"):
+                _append(k, info[k])
+        _append("variant_index", kept_idx)
+        if ckpt is not None:
+            ckpt.save(b + 1, acc, meta)
+
+    if ckpt is not None:
+        ckpt.clear()
+    pv = acc.get("pvalues", np.zeros(0))
+    vidx = acc.get("variant_index", np.zeros(0, int))
+    info = {k: acc[k] for k in ("rho1", "e2", "g2", "eps2", "Q", "maf",
+                                "confirmed", "screen_pv") if k in acc}
+    return pv, info, vidx
+
+
 def scan_association_plink(crm: CellRegMap, prefix: str, *,
                            donor_to_cell=None, donor_ids=None,
                            fast: bool = True, block_size: int = 2048,
@@ -428,10 +501,15 @@ def main(argv=None):
     ap.add_argument("--gene-batch", type=int, default=16,
                     help="gene tile size for multigene (Y + windows) scans")
     ap.add_argument("--mode", default="interaction",
-                    choices=("interaction", "association",
-                             "association-fast", "betas"),
+                    choices=("interaction", "interaction-screen",
+                             "association", "association-fast", "betas"),
                     help="scan type (multigene Y+windows data implies the "
                          "gene-batched interaction scan)")
+    ap.add_argument("--significance", type=float, default=5e-8,
+                    help="interaction-screen mode: genome-wide cutoff")
+    ap.add_argument("--screen-margin", type=float, default=100.0,
+                    help="interaction-screen mode: confirm-threshold "
+                         "multiple over --significance")
     args = ap.parse_args(argv)
 
     with np.load(args.data, allow_pickle=False) as z:
@@ -475,6 +553,16 @@ def main(argv=None):
                  variant_index=vidx)
         print(json.dumps({"n_tested": int(bg.shape[0]),
                           "n_variants": int(vidx.shape[0]),
+                          "out": args.out}))
+        return 0
+    if args.mode == "interaction-screen":
+        pv, info, vidx = scan_interaction_screen_plink(
+            crm, args.bed, significance=args.significance,
+            screen_margin=args.screen_margin, **common)
+        np.savez(args.out, pvalues=pv, variant_index=vidx, **info)
+        print(json.dumps({"n_tested": int(pv.shape[0]),
+                          "n_confirmed": int(info["confirmed"].sum())
+                          if "confirmed" in info else 0,
                           "out": args.out}))
         return 0
     if args.mode in ("association", "association-fast"):

@@ -346,6 +346,33 @@ def test_streaming_betas_matches_direct(cohort, tmp_path):
     assert np.array_equal(vidx_r, vidx_f)
 
 
+def test_streaming_screen_matches_direct(cohort):
+    """Streaming screen -> confirm over .bed == direct in-memory screen on
+    the same decoded/filtered genotypes; confirmed pairs carry exact f64
+    p-values."""
+    from cellregmap_tpu.plink_scan import scan_interaction_screen_plink
+
+    crm = _make_crm(cohort)
+    dids = np.asarray(cohort["donor_ids"])[cohort["d2c"]]
+    pv, info, vidx = scan_interaction_screen_plink(
+        crm, cohort["prefix"], donor_ids=dids, block_size=4096,
+        maf_min=0.01, significance=1e-3)
+    Gdi, keep = _expected_filter(cohort)
+    assert np.array_equal(vidx, np.flatnonzero(keep))
+    assert pv.shape == vidx.shape == info["confirmed"].shape
+    # confirmed pairs: exact f64 davies values from the full-precision path
+    head = vidx[vidx < 64]
+    Gc = Gdi[cohort["d2c"]][:, head]
+    Gc = (Gc - Gc.mean(0)) / Gc.std(0)
+    pv_direct, info_direct = crm.scan_interaction_screen(
+        Gc, significance=1e-3)
+    # screen (f32) values across different batch shapes agree at the f32
+    # noise level; confirmed pairs are exact
+    assert_allclose(pv[: head.size], pv_direct, rtol=0.05, atol=1e-12)
+    both = info["confirmed"][: head.size] & info_direct["confirmed"]
+    assert_allclose(pv[: head.size][both], pv_direct[both], rtol=1e-12)
+
+
 def test_plink_scan_cli_modes(cohort, tmp_path):
     """--mode association-fast and --mode betas produce sane outputs."""
     from cellregmap_tpu.plink_scan import main
