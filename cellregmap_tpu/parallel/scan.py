@@ -84,7 +84,7 @@ class ShardedScanner:
         return self.mesh.devices.size
 
     def _kernel(self, ctx, G_b, Gs_b, n, delta_cfg, device_pvalues=True):
-        key = (G_b.shape, n, delta_cfg, device_pvalues)
+        key = (G_b.shape, str(G_b.dtype), n, delta_cfg, device_pvalues)
         if key not in self._compiled:
             out_shapes = jax.eval_shape(
                 lambda c, g, gs: engine.interaction_batch(
@@ -232,6 +232,78 @@ class ShardedScanner:
     @property
     def _ckpt_dir(self):
         return str(self.ckpt.path) if self.ckpt is not None else None
+
+    def scan_interaction_screen(self, G, significance: float = 5e-8,
+                                screen_margin: float = 100.0,
+                                checkpoint_every: int = 1):
+        """Mesh-sharded two-pass screen -> confirm interaction scan.
+
+        The f32 screen pass shards the variant axis over the mesh (same
+        data-parallel layout as :meth:`scan_interaction`); the exact
+        f64 + Davies confirm pass re-tests the (small) hit set through
+        the local full-precision path.  Precision contract as in
+        :meth:`cellregmap_tpu.CellRegMap.scan_interaction_screen`.
+        """
+        from ..api import _content_sha, _run_checkpointed
+
+        crm = self.crm
+        cfg = crm._cfg
+        nd = self.n_devices
+        G = np.asarray(G, float)
+        if G.ndim == 1:
+            G = G[:, None]
+        n_snps = G.shape[1]
+        thr = min(1.0, float(significance) * float(screen_margin))
+        ctx32 = crm._ctx32
+
+        per_dev = max(1, min(cfg.snp_batch * 2, -(-n_snps // nd)))
+        step = per_dev * nd
+        rem = (-n_snps) % step
+        Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
+              if rem else G)
+        delta_cfg = (cfg.delta_logit_lo, cfg.delta_logit_hi,
+                     cfg.n_delta_grid_interaction, cfg.n_golden_iters)
+
+        def _launch(b):
+            gb = jnp.asarray(Gp[:, b : b + step], jnp.float32)
+            fn = self._kernel(ctx32, gb, gb, crm._n, delta_cfg, True)
+            out = fn(ctx32, gb, gb)
+            return {k: out[k] for k in ("pv_saddlepoint", "pv_liu", "Q",
+                                        "rho1", "e2", "g2", "eps2")}
+
+        ck_meta = {"scan": "sharded_screen", "n_snps": n_snps,
+                   "step": step, "thr": thr,
+                   "inputs_sha": (_content_sha(crm._y, G)
+                                  if self.ckpt else None)}
+        scr = _run_checkpointed(
+            range(0, Gp.shape[1], step), _launch, self._ckpt_dir, ck_meta,
+            checkpoint_every, progress=cfg.progress, desc="sharded_screen")
+        scr = {k: v[:n_snps] for k, v in scr.items()}
+        sp = np.asarray(scr["pv_saddlepoint"], float)
+        liu = np.asarray(scr["pv_liu"], float)
+        screen_pv = np.where(np.isfinite(sp), sp, liu)
+        hits = (~np.isfinite(screen_pv)) | (screen_pv < thr)
+        idx = np.flatnonzero(hits)
+
+        pvalues = np.asarray(screen_pv, float).copy()
+        info = {k: np.asarray(scr[k], float)
+                for k in ("rho1", "e2", "g2", "eps2", "Q")}
+        if idx.size:
+            cb = min(64, cfg.snp_batch, crm._auto_batch_cap())
+            Gh = G[:, idx]
+            pad = (-Gh.shape[1]) % cb
+            if pad:
+                Gh = np.concatenate(
+                    [Gh, np.repeat(Gh[:, :1], pad, axis=1)], axis=1)
+            pv_c, info_c = crm._confirm_scanner().scan_interaction(Gh)
+            pvalues[idx] = pv_c[: idx.size]
+            for k in info:
+                info[k][idx] = np.asarray(info_c[k], float)[: idx.size]
+        info["screen_pv"] = screen_pv
+        info["confirmed"] = hits
+        info["screen_threshold"] = thr
+        info["n_confirmed"] = int(idx.size)
+        return pvalues, info
 
     def scan_association_fast(self, G, checkpoint_every: int = 1):
         """Sharded equivalent of ``CellRegMap.scan_association_fast``:
