@@ -529,7 +529,11 @@ class CellRegMap:
         R = int(self._ctx.S.shape[1])
         nrho = int(self._ctx.S.shape[0])
         C = int(self._ctx.E0.shape[1])
-        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 4 * 2  # f32 bytes
+        # the screen's heavy tensors are f32, but its statistics stages
+        # hold the SAME (gene, S, nrho, R) f64 weight family as the f64
+        # multigene kernel (engine `sd`) — budget with the f64 accounting
+        # (see scan_interaction_multigene's OOM note)
+        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 8 * 8
         batch = min(cfg.snp_batch * 2, max(16, int(5e9 / per_gv / gtile)))
         Gp, _ = _pad_batch(G, batch)
         Yp, _ = _pad_batch(Y, gtile)
@@ -625,13 +629,16 @@ class CellRegMap:
         n_genes = Y.shape[1]
         gtile = max(1, min(gene_batch, n_genes))
 
-        # per-(gene, variant) HBM: the rotated y-family (nrho, R) tensors
-        # (~2 live f64 copies at 32 B/elem), the best-rho score factor and
-        # per-gene gathers (~(3C + 6) R), per gene tile
+        # per-(gene, variant) HBM: the rotated y-family and the stage-2
+        # delta/weight family are (gene, S, nrho, R) f64 tensors whose
+        # limb expansion the XLA memory planner holds in BOTH the S-major
+        # and R-major layouts plus remat copies — measured ~4x the naive
+        # two-copy estimate (a 16-gene x 336-variant tile planned 20.9 GB
+        # and failed compile on a 16 GB chip, round 5)
         R = int(self._ctx.S.shape[1])
         nrho = int(self._ctx.S.shape[0])
         C = int(self._ctx.E0.shape[1])
-        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 8 * 2
+        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 8 * 8
         # canonical (gene_tile, snp_batch) shape: the variant axis pads UP
         # to the full batch instead of clamping to n_snps, so every
         # cis-window width shares ONE compiled program (a fresh gene-batched

@@ -188,7 +188,15 @@ class ShardedScanner:
         n_genes, n_snps = Y.shape[1], G.shape[1]
         gtile = max(1, min(gene_batch, n_genes))
 
-        per_dev = max(1, min(cfg.snp_batch, -(-n_snps // nd)))
+        # per-device HBM cap for the gene-batched kernel (the (gene, S,
+        # nrho, R) f64 weight family plans at ~4x its naive size; see
+        # CellRegMap.scan_interaction_multigene's OOM note)
+        R = int(crm._ctx.S.shape[1])
+        nrho = int(crm._ctx.S.shape[0])
+        C = int(crm._ctx.E0.shape[1])
+        per_gv = (nrho * R * 2 + (3 * C + 6) * R) * 8 * 8
+        dev_cap = max(16, int(5e9 / per_gv / gtile))
+        per_dev = max(1, min(cfg.snp_batch, dev_cap, -(-n_snps // nd)))
         step = per_dev * nd
         rem = (-n_snps) % step
         Gp = (np.concatenate([G, np.repeat(G[:, :1], rem, axis=1)], axis=1)
